@@ -1,0 +1,23 @@
+"""Test harness setup.
+
+Tests run on CPU with 8 virtual devices so that multi-chip sharding paths
+compile and execute without TPU hardware (the driver separately dry-runs the
+multi-chip path). Must run before the first `import jax` anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(233)

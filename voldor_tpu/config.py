@@ -1,0 +1,180 @@
+"""VO engine configuration.
+
+One typed dataclass holding every hyperparameter of the VO engine, plus a
+parser for the reference's whitespace ``--flag value`` config-string dialect
+so existing configuration strings keep working verbatim.
+
+Parity notes: field names, defaults and the flag registry mirror the
+reference (voldor/config.h:4-324). The reference parser's ``str_to_arg``
+switch is missing ``break`` statements (config.h:86-98); this implementation
+converts by the declared field type instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class VoldorConfig:
+    # --- depth prior related (config.h:7-11) ---
+    omega: float = 0.15  # depth-prior rigidness strictness
+    disp_delta: float = 1.0  # disparity depth-prior weight
+    delta: float = 0.5  # generic depth-prior weight
+    basefocal: float = 0.0  # baseline x focal
+
+    # --- robust gaussian fit (config.h:13-20) ---
+    rg_refine: int = 1
+    rg_refine_last_only: int = 1
+    rg_trunc_sigma: float = 3.0
+    rg_covar_reg_lambda: float = 0.001  # Ledoit-Wolf shrinkage weight
+    rg_pose_scaling: float = 100.0  # pool pre-scaling for f32 conditioning
+    rg_max_iters: int = 100
+    rg_epsilon: float = 1e-5
+
+    # --- input params (config.h:22-27) ---
+    resize_factor: float = 1.0  # deprecated upstream; resize is SLAM-layer duty
+    abs_resize_factor: float = 1.0  # scale relative to the flow-network input size
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    exclusive_gpu_context: int = 1  # accepted for compat; device caching is automatic here
+
+    # --- debug (config.h:29-34) ---
+    debug: bool = False
+    silent: bool = False
+    save_everything: bool = False
+    viz_img_per_row: int = 2
+    viz_depth_scale: float = 5.0
+
+    # --- hyper params (config.h:36-40) ---
+    lambda_: float = 0.15  # rigidness strictness ('lambda' is reserved in Python)
+    meanshift_kernel_var: float = 0.1
+    meanshift_rvec_scale: float = 25.0
+    norm_world_scale: int = 1
+
+    # --- pose sampling (config.h:42-50) ---
+    cpu_p3p: int = 0  # accepted for compat; P3P always runs on device
+    lambdatwist: int = 1  # 1 = LambdaTwist P3P (default), 0 = alternative solver
+    n_poses_to_sample: int = 8192
+    pose_sample_min_depth: float = 0.1
+    pose_sample_max_depth: float = 1000.0
+    max_trace_on_flow: int = 3
+    rigidness_threshold: float = 0.5
+    rigidness_sum_threshold: float = 1.0
+
+    # --- truncation (config.h:52-57) ---
+    trunc_rigidness_density: float = 0.05
+    trunc_sample_density: float = 0.001
+    no_trunc_iters: float = 2
+    max_iters: int = 5
+    min_iters_after_trunc: int = 3
+
+    # --- forward-backward rigidness smoothing (config.h:59-62) ---
+    fb_smooth: int = 1
+    fb_emm: float = 0.5  # emission probability of the off state
+    fb_no_change_prob: float = 0.9
+
+    # --- depth update (config.h:64-69) ---
+    optimize_depth: int = 1
+    depth_rand_samples: int = 10
+    depth_global_prop_step: int = 8
+    depth_local_prop_width: int = 32
+    depth_range_factor: float = 1.0
+
+    # --- meanshift (config.h:71-75) ---
+    meanshift_max_iters: int = 100
+    meanshift_max_init_trials: int = 20
+    meanshift_good_init_confidence: float = 0.5
+    meanshift_epsilon: float = 1e-5
+
+    # --- legacy KITTI ground estimation (config.h:77-82; unused upstream) ---
+    kitti_estimate_ground: int = 0
+    kitti_ground_holo_width: int = 5
+    kitti_ground_roi: float = 0.4
+    kitti_ground_meanshift_kernel_var: float = 0.01
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # 'jump'  : jump-flooding local propagation (parallel, TPU-friendly)
+    # 'exact' : bit-faithful sequential chunk scan (slow; for parity tests)
+    depth_local_prop_mode: str = "jump"
+    # PRNG seed for pose sampling / depth proposals (reference RAND_SEED 233,
+    # optimize_depth.cu:8 / collect_p3p_instances.cu:6).
+    seed: int = 233
+
+    # Flags that are presence-only booleans in the reference dialect
+    # (config.h:155-160: `--debug`, `--silent`, `--save_everything`).
+    _PRESENCE_FLAGS = ("debug", "silent", "save_everything")
+    # Flag spelling that differs from the field name.
+    _FLAG_ALIASES = {"lambda": "lambda_"}
+
+    def copy(self, **overrides) -> "VoldorConfig":
+        return dataclasses.replace(self, **overrides)
+
+    @classmethod
+    def _field_map(cls):
+        return {f.name: f for f in fields(cls)}
+
+    def read_config(self, config_str: str) -> "VoldorConfig":
+        """Parse a whitespace-separated ``--flag value`` string in place.
+
+        Mirrors Config::read_config (voldor/config.h:110-253): unknown flags
+        raise, presence flags take no value, everything else consumes one
+        value token converted to the field's declared type.
+        """
+        tokens = config_str.split()
+        fmap = self._field_map()
+        i = 0
+        while i < len(tokens):
+            tok = tokens[i]
+            if not tok.startswith("--"):
+                raise ValueError(f"Invalid input config : {tok}")
+            name = tok[2:]
+            name = self._FLAG_ALIASES.get(name, name)
+            if name in self._PRESENCE_FLAGS:
+                setattr(self, name, True)
+                i += 1
+                continue
+            if name not in fmap:
+                raise ValueError(f"Invalid input config : {tok}")
+            if i + 1 >= len(tokens):
+                raise ValueError(f"Config flag {tok} missing its value")
+            raw = tokens[i + 1]
+            ftype = fmap[name].type
+            if ftype in ("int", int):
+                setattr(self, name, int(float(raw)))
+            elif ftype in ("float", float):
+                setattr(self, name, float(raw))
+            elif ftype in ("bool", bool):
+                setattr(self, name, raw.strip().lower() not in ("0", "false", ""))
+            else:
+                setattr(self, name, raw)
+            i += 2
+        return self
+
+    @classmethod
+    def from_string(cls, config_str: str, **overrides) -> "VoldorConfig":
+        cfg = cls(**overrides)
+        cfg.read_config(config_str)
+        return cfg
+
+    def to_string(self) -> str:
+        """Serialize the non-default fields back to the flag dialect."""
+        default = VoldorConfig()
+        parts = []
+        rev_alias = {v: k for k, v in self._FLAG_ALIASES.items()}
+        for f in fields(self):
+            if f.name.startswith("_"):
+                continue
+            val = getattr(self, f.name)
+            if val == getattr(default, f.name):
+                continue
+            flag = rev_alias.get(f.name, f.name)
+            if f.name in self._PRESENCE_FLAGS:
+                if val:
+                    parts.append(f"--{flag}")
+            else:
+                parts.append(f"--{flag} {val}")
+        return " ".join(parts)
