@@ -217,9 +217,10 @@ def test_fisk_pdf_formula(rng):
 
 def test_fisk_params_clamped():
     # below/above observation clamp both map to the clamp boundary values
-    assert float(fisk.fmag_c(jnp.asarray(0.0))) == pytest.approx(1.0 - 0.0022 * 2)
-    assert float(fisk.fmag_c(jnp.asarray(1e6))) == pytest.approx(1.0 - 0.0022 * 100)
-    assert float(fisk.fmag_scale(jnp.asarray(0.0))) == pytest.approx(0.01 * np.exp(0.09 * 2))
+    tol = dict(rel=1e-5)  # fp32 exp rounding
+    assert float(fisk.fmag_c(jnp.asarray(0.0))) == pytest.approx(1.0 - 0.0022 * 2, **tol)
+    assert float(fisk.fmag_c(jnp.asarray(1e6))) == pytest.approx(1.0 - 0.0022 * 100, **tol)
+    assert float(fisk.fmag_scale(jnp.asarray(0.0))) == pytest.approx(0.01 * np.exp(0.09 * 2), **tol)
 
 
 def test_rigidness_behaviour(rng):

@@ -70,9 +70,9 @@ def _backward_coeffs(e1, e0, ncp):
     prev' = s1/(s0+s1)
     """
     a = e1 * ncp - (1.0 - ncp) * e0
-    b = (1.0 - ncp) * e0
+    b = jnp.broadcast_to((1.0 - ncp) * e0, a.shape)
     c = e1 - e0
-    d = e0
+    d = jnp.broadcast_to(e0, a.shape)
     return jnp.stack(
         [jnp.stack([a, b], axis=-1), jnp.stack([c, d], axis=-1)], axis=-2
     )
