@@ -1,0 +1,60 @@
+"""`voldor()` — the pyvoldor-compatible VO entry point.
+
+Same signature, shapes and return dict as the reference Cython binding
+(slam_py/install/pyvoldor_full.pyx:14-70 -> voldor/py_export.cpp:5-79).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from voldor_tpu.config import VoldorConfig
+from voldor_tpu.vo.engine import VoldorEngine
+
+
+def voldor(
+    flows: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    basefocal: float = 0.0,
+    disparity: np.ndarray | None = None,
+    disparity_pconf: np.ndarray | None = None,
+    depth_priors: np.ndarray | None = None,
+    depth_prior_poses: np.ndarray | None = None,
+    depth_prior_pconfs: np.ndarray | None = None,
+    config: str = "",
+) -> dict:
+    """Run one VO window.
+
+    flows: (N, h, w, 2) float32; disparity: (h, w); depth_priors:
+    (D, h, w) with (D, 6) poses; config: '--flag value' string in the
+    reference dialect.
+
+    Returns {'n_registered', 'poses' (n, 6), 'poses_covar' (n, 6, 6),
+    'depth' (h, w), 'depth_conf' (h, w)}.
+    """
+    cfg = VoldorConfig(fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy),
+                       basefocal=float(basefocal))
+    cfg.read_config(config)
+
+    engine = VoldorEngine(cfg)
+    engine.init(
+        flows,
+        disparity=disparity,
+        disparity_pconf=disparity_pconf,
+        depth_priors=depth_priors,
+        depth_prior_poses=depth_prior_poses,
+        depth_prior_pconfs=depth_prior_pconfs,
+    )
+    engine.solve()
+
+    n = engine.n_flows
+    return {
+        "n_registered": n,
+        "poses": np.asarray(engine.poses[:n], np.float32),
+        "poses_covar": np.asarray(engine.pose_covars[:n], np.float32),
+        "depth": np.asarray(engine.depth, np.float32),
+        "depth_conf": engine.depth_confidence(),
+    }

@@ -1,0 +1,404 @@
+"""The VO engine driver: init, bootstrap, and the EM solve loop.
+
+Mirrors the VOLDOR class (voldor/voldor.h:14-83, voldor.cpp:4-331) with a
+device-resident state pytree. The EM phases are fused jitted dispatches
+(pose step: voldor_tpu.vo.pose_step; depth step: voldor_tpu.vo.em); the
+outer loop, window truncation, and world-scale gauge fixing stay in host
+Python exactly as the reference keeps them on the CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voldor_tpu.config import VoldorConfig
+from voldor_tpu.ops import epipolar, lie
+from voldor_tpu.vo import em
+from voldor_tpu.vo.pose_step import optimize_camera_pose
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_rand",
+        "gstep",
+        "lwidth",
+        "mode",
+        "fb",
+        "rig_only",
+        "use_flows",
+        "use_priors",
+    ),
+)
+def _depth_round(
+    depth,
+    flows,
+    rigidness,
+    Rs,
+    ts,
+    priors,
+    dp_pconfs,
+    dp_confs,
+    dp_Rs,
+    dp_ts,
+    active_n,
+    params: em.EmParams,
+    key,
+    fb_emm,
+    fb_ncp,
+    range_factor,
+    *,
+    n_rand,
+    gstep,
+    lwidth,
+    mode,
+    fb,
+    rig_only,
+    use_flows,
+    use_priors,
+):
+    """One optimize_depth call (optimize_depth.cu:462-508): optional
+    FB-smoothing of the weights, proposal rounds, then rigidness refresh."""
+    f = flows if use_flows else None
+    pr = priors if use_priors else None
+
+    if fb and not rig_only:
+        if use_flows:
+            rigidness = fb_smooth_masked(rigidness, active_n, fb_emm, fb_ncp)
+        if use_priors:
+            dp_confs = em.fb_smooth(dp_confs, fb_emm, fb_ncp)
+
+    if not rig_only:
+        cost = em.compute_cost_map(
+            depth, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs, dp_Rs, dp_ts,
+            active_n, params,
+        )
+        depth, cost = em.optimize_depth(
+            depth, cost, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs, dp_Rs,
+            dp_ts, active_n, params, key,
+            n_rand_samples=n_rand,
+            global_prop_step=gstep,
+            local_prop_width=lwidth,
+            range_factor=range_factor,
+            local_prop_mode=mode,
+        )
+
+    if use_flows:
+        rigidness = em.update_rigidness(depth, flows, Rs, ts, active_n, params)
+    if use_priors:
+        dp_confs = em.update_prior_confs(depth, priors, dp_confs, dp_Rs, dp_ts, params)
+    return depth, rigidness, dp_confs
+
+
+def fb_smooth_masked(rigidness, active_n, fb_emm, fb_ncp):
+    """FB-smooth only the active frames (inactive stay zero)."""
+    smoothed = em.fb_smooth(rigidness, fb_emm, fb_ncp)
+    active = (jnp.arange(rigidness.shape[0]) < active_n)[:, None, None]
+    return jnp.where(active, smoothed, rigidness)
+
+
+@dataclass
+class VoldorEngine:
+    """Device-resident EM state + the reference's solve-loop control flow."""
+
+    cfg: VoldorConfig
+    # state (populated by init)
+    flows: jax.Array | None = None  # (N, h, w, 2)
+    rigidness: jax.Array | None = None  # (N, h, w)
+    depth: jax.Array | None = None  # (h, w)
+    poses: np.ndarray | None = None  # (N, 6) host copy [rvec, tvec]
+    pose_covars: np.ndarray | None = None  # (N, 6, 6)
+    pose_densities: np.ndarray | None = None  # (N,)
+    pose_rigidness_densities: np.ndarray | None = None  # (N,)
+    pose_sample_counts: np.ndarray | None = None  # (N,)
+    priors: jax.Array | None = None  # (D, h, w)
+    dp_pconfs: jax.Array | None = None
+    dp_confs: jax.Array | None = None
+    dp_poses: np.ndarray | None = None  # (D, 6)
+    has_disparity: bool = False
+    n_flows: int = 0
+    n_flows_init: int = 0
+    n_depth_priors: int = 0
+    w: int = 0
+    h: int = 0
+    iters_cur: int = 0
+    iters_remain: int = 0
+    _key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(233))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def init(
+        self,
+        flows: np.ndarray,
+        disparity: np.ndarray | None = None,
+        disparity_pconf: np.ndarray | None = None,
+        depth_priors: np.ndarray | None = None,
+        depth_prior_poses: np.ndarray | None = None,
+        depth_prior_pconfs: np.ndarray | None = None,
+    ):
+        """Load a window (voldor.cpp:4-128). flows: (N, h, w, 2) float32.
+
+        disparity (h, w) converts to a depth prior bf/disp with identity
+        pose; general priors come with (D, 6) poses mapping frame-0 points
+        into the prior camera.
+        """
+        cfg = self.cfg
+        self._key = jax.random.PRNGKey(cfg.seed)
+        flows = np.ascontiguousarray(flows, np.float32)
+        if cfg.resize_factor != 1.0:
+            n, h0, w0, _ = flows.shape
+            h1, w1 = int(h0 * cfg.resize_factor), int(w0 * cfg.resize_factor)
+            flows = np.asarray(
+                jax.image.resize(jnp.asarray(flows), (n, h1, w1, 2), "linear")
+            ) * cfg.resize_factor
+            cfg.fx *= cfg.resize_factor
+            cfg.fy *= cfg.resize_factor
+            cfg.cx *= cfg.resize_factor
+            cfg.cy *= cfg.resize_factor
+
+        N, h, w = flows.shape[0], flows.shape[1], flows.shape[2]
+        self.n_flows = self.n_flows_init = N
+        self.h, self.w = h, w
+        self.iters_cur = 0
+        self.iters_remain = cfg.max_iters
+
+        prior_list = []
+        prior_pconf_list = []
+        prior_pose_list = []
+        self.has_disparity = disparity is not None
+        if disparity is not None:
+            dp = cfg.basefocal / np.maximum(np.asarray(disparity, np.float32), 1e-12)
+            if cfg.resize_factor != 1.0:
+                dp = (
+                    np.asarray(jax.image.resize(jnp.asarray(dp), (h, w), "linear"))
+                    * cfg.resize_factor
+                )
+            prior_list.append(dp)
+            prior_pconf_list.append(
+                np.ones((h, w), np.float32)
+                if disparity_pconf is None
+                else np.asarray(disparity_pconf, np.float32)
+            )
+            prior_pose_list.append(np.zeros(6, np.float32))
+        if depth_priors is not None:
+            for i in range(depth_priors.shape[0]):
+                prior_list.append(np.asarray(depth_priors[i], np.float32))
+                prior_pconf_list.append(
+                    np.ones((h, w), np.float32)
+                    if depth_prior_pconfs is None
+                    else np.asarray(depth_prior_pconfs[i], np.float32)
+                )
+                prior_pose_list.append(np.asarray(depth_prior_poses[i], np.float32))
+
+        D = len(prior_list)
+        self.n_depth_priors = D
+
+        self.flows = jnp.asarray(flows)
+        self.rigidness = jnp.ones((N, h, w), jnp.float32)
+        self.poses = np.zeros((N, 6), np.float32)
+        self.pose_covars = np.zeros((N, 6, 6), np.float32)
+        self.pose_densities = np.zeros(N, np.float32)
+        self.pose_rigidness_densities = np.zeros(N, np.float32)
+        self.pose_sample_counts = np.zeros(N, np.int32)
+
+        if D > 0:
+            self.priors = jnp.asarray(np.stack(prior_list))
+            self.dp_pconfs = jnp.asarray(np.stack(prior_pconf_list))
+            self.dp_confs = jnp.ones((D, h, w), jnp.float32)
+            self.dp_poses = np.stack(prior_pose_list)
+            self.depth = self.priors[0]
+            if not self.has_disparity:
+                # fuse priors into the initial depth (voldor.cpp:111-117)
+                self._run_depth_round(prior_only=True)
+        else:
+            self.priors = jnp.zeros((0, h, w), jnp.float32)
+            self.dp_pconfs = jnp.zeros((0, h, w), jnp.float32)
+            self.dp_confs = jnp.zeros((0, h, w), jnp.float32)
+            self.dp_poses = np.zeros((0, 6), np.float32)
+            self.depth = jnp.ones((h, w), jnp.float32)
+
+        return self
+
+    # ------------------------------------------------------------------
+    def _params(self) -> em.EmParams:
+        return em.EmParams.from_config(self.cfg, self.has_disparity)
+
+    def _pose_mats(self):
+        Rs = np.asarray(lie.so3_exp(jnp.asarray(self.poses[:, :3])))
+        return jnp.asarray(Rs), jnp.asarray(self.poses[:, 3:6])
+
+    def _dp_pose_mats(self):
+        if self.n_depth_priors == 0:
+            return jnp.zeros((0, 3, 3)), jnp.zeros((0, 3))
+        Rs = np.asarray(lie.so3_exp(jnp.asarray(self.dp_poses[:, :3])))
+        return jnp.asarray(Rs), jnp.asarray(self.dp_poses[:, 3:6])
+
+    # ------------------------------------------------------------------
+    def bootstrap(self):
+        """Monocular two-frame init (voldor.cpp:151-162)."""
+        cfg = self.cfg
+        K = jnp.asarray(
+            [[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1]], jnp.float32
+        )
+        R, t, _ = epipolar.estimate_pose_epipolar(
+            self.flows[0], K, self._next_key()
+        )
+        self.depth = epipolar.estimate_depth_closed_form(self.flows[0], K, R, t)
+        rvec = np.asarray(lie.so3_log(R))
+        self.poses[0, :3] = rvec
+        self.poses[0, 3:6] = np.asarray(t)
+
+    # ------------------------------------------------------------------
+    def solve(self) -> int:
+        """The EM loop (voldor.cpp:130-149)."""
+        cfg = self.cfg
+        if self.n_depth_priors == 0:
+            self.bootstrap()
+        while self.iters_remain > 0 and self.n_flows > 0:
+            self.iters_cur += 1
+            self.iters_remain -= 1
+            self.optimize_cameras()
+            self._run_depth_round(rigidness_only=not cfg.optimize_depth)
+            if cfg.norm_world_scale and self.n_depth_priors == 0:
+                self.normalize_world_scale()
+        return self.iters_cur
+
+    # ------------------------------------------------------------------
+    def optimize_cameras(self):
+        """Per-frame pose steps with the truncation policy
+        (voldor.cpp:164-201)."""
+        cfg = self.cfg
+        allow_trunc = self.iters_cur > cfg.no_trunc_iters
+        params = self._params()
+        Rs, ts = self._pose_mats()
+
+        for i in range(self.n_flows):
+            rig_density = float(jnp.mean(self.rigidness[i]))
+            self.pose_rigidness_densities[i] = rig_density
+
+            success = False
+            if (not allow_trunc) or rig_density > cfg.trunc_rigidness_density:
+                rg_refine = bool(cfg.rg_refine) and (
+                    not cfg.rg_refine_last_only or self.iters_remain == 0
+                )
+                res = optimize_camera_pose(
+                    self.depth,
+                    self.flows,
+                    self.rigidness,
+                    Rs,
+                    ts,
+                    jnp.asarray(self.poses[i]),
+                    jnp.int32(i),
+                    jnp.bool_(self.pose_sample_counts[i] != 0),
+                    jnp.bool_(rg_refine),
+                    self._next_key(),
+                    params,
+                    rigidness_threshold=cfg.rigidness_threshold,
+                    rigidness_sum_threshold=cfg.rigidness_sum_threshold,
+                    sample_min_depth=cfg.pose_sample_min_depth,
+                    sample_max_depth=cfg.pose_sample_max_depth,
+                    max_trace_on_flow=cfg.max_trace_on_flow,
+                    n_poses_to_sample=cfg.n_poses_to_sample,
+                    meanshift_kernel_var=cfg.meanshift_kernel_var,
+                    meanshift_rvec_scale=cfg.meanshift_rvec_scale,
+                    meanshift_epsilon=cfg.meanshift_epsilon,
+                    meanshift_max_iters=cfg.meanshift_max_iters,
+                    meanshift_max_init_trials=cfg.meanshift_max_init_trials,
+                    meanshift_good_init_confidence=cfg.meanshift_good_init_confidence,
+                    rg_trunc_sigma=cfg.rg_trunc_sigma,
+                    rg_covar_reg_lambda=cfg.rg_covar_reg_lambda,
+                    rg_pose_scaling=cfg.rg_pose_scaling,
+                    rg_epsilon=cfg.rg_epsilon,
+                    rg_max_iters=cfg.rg_max_iters,
+                )
+                success = bool(res.success)
+                if success:
+                    self.poses[i] = np.asarray(res.pose6)
+                    self.pose_covars[i] = np.asarray(res.pose_covar)
+                    self.pose_densities[i] = float(res.pose_density)
+                    self.pose_sample_counts[i] = int(res.pose_sample_count)
+                    # refresh the pose matrices used by later frames
+                    Rs = Rs.at[i].set(lie.so3_exp(jnp.asarray(self.poses[i, :3])))
+                    ts = ts.at[i].set(jnp.asarray(self.poses[i, 3:6]))
+
+            if (not success) or (
+                allow_trunc and self.pose_densities[i] < cfg.trunc_sample_density
+            ):
+                if not self.cfg.silent:
+                    print(f"truncated at camera {i}")
+                self.iters_remain = max(self.iters_remain, cfg.min_iters_after_trunc)
+                self.n_flows = i
+                break
+
+    # ------------------------------------------------------------------
+    def _run_depth_round(self, prior_only: bool = False, rigidness_only: bool = False):
+        cfg = self.cfg
+        params = self._params()
+        Rs, ts = self._pose_mats()
+        dp_Rs, dp_ts = self._dp_pose_mats()
+        use_flows = (self.n_flows > 0) and not prior_only
+        use_priors = self.n_depth_priors > 0
+        if not use_flows and not use_priors:
+            return
+        self.depth, self.rigidness, self.dp_confs = _depth_round(
+            self.depth,
+            self.flows,
+            self.rigidness,
+            Rs,
+            ts,
+            self.priors,
+            self.dp_pconfs,
+            self.dp_confs,
+            dp_Rs,
+            dp_ts,
+            jnp.int32(self.n_flows if use_flows else 0),
+            params,
+            self._next_key(),
+            jnp.float32(cfg.fb_emm),
+            jnp.float32(cfg.fb_no_change_prob),
+            jnp.float32(cfg.depth_range_factor),
+            n_rand=cfg.depth_rand_samples,
+            gstep=cfg.depth_global_prop_step,
+            lwidth=cfg.depth_local_prop_width,
+            mode=cfg.depth_local_prop_mode,
+            fb=bool(cfg.fb_smooth),
+            rig_only=rigidness_only,
+            use_flows=use_flows,
+            use_priors=use_priors,
+        )
+
+    # ------------------------------------------------------------------
+    def normalize_world_scale(self):
+        """Mono gauge fix: mean translation norm over the window -> 1
+        (voldor.cpp:309-317)."""
+        if self.n_flows == 0:
+            return
+        norms = np.linalg.norm(self.poses[: self.n_flows, 3:6], axis=-1)
+        total = float(np.sum(norms))
+        if total <= 0:
+            return
+        s = self.n_flows / total
+        self.poses[: self.n_flows, 3:6] *= s
+        self.depth = self.depth * s
+
+    # ------------------------------------------------------------------
+    def depth_confidence(self) -> np.ndarray:
+        """Mean of active rigidness + prior-confidence maps
+        (voldor/py_export.cpp:68-76)."""
+        total = jnp.zeros((self.h, self.w), jnp.float32)
+        denom = self.n_flows + self.n_depth_priors
+        if self.n_flows > 0:
+            total = total + jnp.sum(self.rigidness[: self.n_flows], axis=0)
+        if self.n_depth_priors > 0:
+            total = total + jnp.sum(self.dp_confs, axis=0)
+        if denom == 0:
+            return np.zeros((self.h, self.w), np.float32)
+        return np.asarray(total / denom)

@@ -1,0 +1,291 @@
+"""Camera-pose step: P3P instance collection + batched solve + mode fusion.
+
+TPU-native replacement for optimize_camera_pose (voldor/geometry.cpp:5-265)
+and collect_p3p_instances (gpu-kernels/collect_p3p_instances.cu:70-250).
+The whole step — collection, 8192-way LambdaTwist batch, meanshift, robust
+Gaussian covariance — runs as ONE jitted dispatch with static shapes;
+the reference's host-side NaN compaction becomes masked sampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voldor_tpu.ops import p3p
+from voldor_tpu.ops.image import bilinear_sample
+from voldor_tpu.ops.meanshift import meanshift
+from voldor_tpu.ops.robust_gaussian import RobustGaussianResult, fit_robust_gaussian
+from voldor_tpu.vo.em import EmParams, _backproject, _pixel_grid
+
+
+class PoseStepResult(NamedTuple):
+    pose6: jax.Array  # (6,) [rvec, tvec]
+    pose_covar: jax.Array  # (6, 6); zeros when rg fit unreliable/skipped
+    pose_density: jax.Array  # meanshift confidence or rg inlier density
+    pose_sample_count: jax.Array  # int32: usable P3P solutions in the pool
+    n_points: jax.Array  # int32: collected correspondences
+    ms_iters: jax.Array
+    rg_iters: jax.Array
+    success: jax.Array  # bool (geometry.cpp:84-87, 178-179, 256-263)
+
+
+def collect_p3p_instances(
+    depth,
+    flows,
+    rigidness,
+    Rs,
+    ts,
+    active_idx,
+    p: EmParams,
+    *,
+    rigidness_threshold,
+    rigidness_sum_threshold,
+    sample_min_depth,
+    sample_max_depth,
+    max_trace_on_flow: int,
+):
+    """Per-pixel (p2, p3) correspondence maps + validity.
+
+    p3 lives in frame (active_idx - 1)'s... more precisely in the frame the
+    3D point reaches after active_idx transforms minus the traced tail; p2
+    is the pixel position traced along observed flows into frame active_idx
+    (collect_p3p_instances.cu:70-145).
+    Returns (p2 (h, w, 2), p3 (h, w, 3), valid (h, w)).
+    """
+    N, h, w = rigidness.shape
+    xs, ys = _pixel_grid(h, w)
+
+    ok = (depth >= sample_min_depth) & (
+        (sample_max_depth <= 0) | (depth <= sample_max_depth)
+    )
+    rig_sum = jnp.sum(rigidness, axis=0)
+    # Inert with default thresholds; kept for parity
+    # (collect_p3p_instances.cu:88-90).
+    ok = ok & ~((rig_sum < rigidness_sum_threshold) & (rigidness_sum_threshold > N + 1))
+
+    # Backward trace: n_trace = #frames (from active_idx down) whose running
+    # rigidness product stays above threshold, capped at max_trace_on_flow
+    # (collect_p3p_instances.cu:92-103).
+    lo = jnp.where(
+        max_trace_on_flow > 0,
+        jnp.maximum(0, active_idx - max_trace_on_flow + 1),
+        0,
+    )
+
+    def trace_step(carry, i):
+        prod, n_trace, alive = carry
+        f = active_idx - i
+        in_range = (f >= lo) & (f >= 0)
+        r = jnp.take(rigidness, jnp.clip(f, 0, N - 1), axis=0)
+        prod_new = prod * r
+        good = (prod_new > rigidness_threshold) & in_range & alive
+        return (
+            jnp.where(good, prod_new, prod),
+            n_trace + good.astype(jnp.int32),
+            good,
+        ), None
+
+    init = (jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.int32), jnp.ones((h, w), bool))
+    (_, n_trace, _), _ = jax.lax.scan(trace_step, init, jnp.arange(N))
+    ok = ok & (n_trace > 0)
+
+    # Forward pass: transform p3 up to the trace start, then trace p2 along
+    # observed flows (collect_p3p_instances.cu:106-133).
+    trace_start = active_idx - n_trace + 1  # (h, w) int
+    ox, oy, oz = _backproject(xs, ys, depth, p)
+
+    def fwd_step(carry, i):
+        ox, oy, oz, px, py, out_of_bounds = carry
+        tracing = i >= trace_start
+        # At the first traced frame, project p3 to initialize (px, py).
+        first = i == trace_start
+        safe_oz = jnp.where(jnp.abs(oz) < 1e-12, 1e-12, oz)
+        prj_x = (p.fx * ox + p.cx * safe_oz) / safe_oz
+        prj_y = (p.fy * oy + p.cy * safe_oz) / safe_oz
+        px = jnp.where(first, prj_x, px)
+        py = jnp.where(first, prj_y, py)
+
+        inb = (px > 0) & (px < w) & (py > 0) & (py < h)
+        flow = flows[jnp.clip(i, 0, N - 1)]
+        d2 = bilinear_sample(flow, px, py)
+        do_trace = tracing & (i <= active_idx)
+        out_of_bounds = out_of_bounds | (do_trace & ~inb)
+        px = jnp.where(do_trace & inb, px + d2[..., 0], px)
+        py = jnp.where(do_trace & inb, py + d2[..., 1], py)
+
+        # Transform p3 to the next frame while i < active_idx.
+        R = Rs[jnp.clip(i, 0, N - 1)]
+        t = ts[jnp.clip(i, 0, N - 1)]
+        nx = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
+        ny = R[1, 0] * ox + R[1, 1] * oy + R[1, 2] * oz + t[1]
+        nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+        adv = i < active_idx
+        ox = jnp.where(adv, nx, ox)
+        oy = jnp.where(adv, ny, oy)
+        oz = jnp.where(adv, nz, oz)
+        return (ox, oy, oz, px, py, out_of_bounds), None
+
+    init = (ox, oy, oz, jnp.zeros_like(xs), jnp.zeros_like(ys), jnp.zeros((h, w), bool))
+    (ox, oy, oz, px, py, oob), _ = jax.lax.scan(fwd_step, init, jnp.arange(N))
+
+    ok = ok & ~oob & (oz > sample_min_depth) & (
+        (sample_max_depth <= 0) | (oz < sample_max_depth)
+    )
+    p2 = jnp.stack([px, py], axis=-1)
+    p3 = jnp.stack([ox, oy, oz], axis=-1)
+    finite = jnp.all(jnp.isfinite(p2), -1) & jnp.all(jnp.isfinite(p3), -1)
+    return p2, p3, ok & finite
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_poses_to_sample",
+        "meanshift_max_iters",
+        "meanshift_max_init_trials",
+        "rg_max_iters",
+        "max_trace_on_flow",
+    ),
+)
+def optimize_camera_pose(
+    depth,
+    flows,
+    rigidness,
+    Rs,
+    ts,
+    pose6_init,
+    active_idx,
+    successive_pose,
+    rg_refine,
+    key,
+    p: EmParams,
+    *,
+    rigidness_threshold=0.5,
+    rigidness_sum_threshold=1.0,
+    sample_min_depth=0.1,
+    sample_max_depth=1000.0,
+    max_trace_on_flow=3,
+    n_poses_to_sample=8192,
+    meanshift_kernel_var=0.1,
+    meanshift_rvec_scale=25.0,
+    meanshift_epsilon=1e-5,
+    meanshift_max_iters=100,
+    meanshift_max_init_trials=20,
+    meanshift_good_init_confidence=0.5,
+    rg_trunc_sigma=3.0,
+    rg_covar_reg_lambda=0.001,
+    rg_pose_scaling=100.0,
+    rg_epsilon=1e-5,
+    rg_max_iters=100,
+) -> PoseStepResult:
+    """One camera-pose step (geometry.cpp:5-265), fully fused on device.
+
+    pose6_init: (6,) current pose estimate of the active camera (used as the
+    meanshift warm start when successive_pose). rg_refine may be a traced
+    bool — both branches are cheap relative to the P3P batch.
+    """
+    k_sample, k_ms = jax.random.split(key)
+    p2map, p3map, validmap = collect_p3p_instances(
+        depth, flows, rigidness, Rs, ts, active_idx, p,
+        rigidness_threshold=rigidness_threshold,
+        rigidness_sum_threshold=rigidness_sum_threshold,
+        sample_min_depth=sample_min_depth,
+        sample_max_depth=sample_max_depth,
+        max_trace_on_flow=max_trace_on_flow,
+    )
+    h, w = depth.shape
+    p2s = p2map.reshape(-1, 2)
+    p3s = p3map.reshape(-1, 3)
+    valid = validmap.reshape(-1)
+    n_points = jnp.sum(valid.astype(jnp.int32))
+
+    rvecs, tvecs, ok = p3p.solve_batch_p4p(
+        p2s, p3s, valid, k_sample, p.fx, p.fy, p.cx, p.cy, n_poses=n_poses_to_sample
+    )
+    pool = jnp.concatenate([rvecs * meanshift_rvec_scale, tvecs], axis=-1)
+    pool_valid = ok.astype(jnp.float32)
+    pose_sample_count = jnp.sum(ok.astype(jnp.int32))
+
+    ms_init = jnp.concatenate(
+        [pose6_init[:3] * meanshift_rvec_scale, pose6_init[3:6]]
+    )
+    ms = meanshift(
+        pool,
+        pool_valid,
+        meanshift_kernel_var,
+        ms_init,
+        successive_pose,
+        k_ms,
+        epsilon=meanshift_epsilon,
+        max_iters=meanshift_max_iters,
+        max_init_trials=meanshift_max_init_trials,
+        good_init_confidence=meanshift_good_init_confidence,
+    )
+
+    # Robust-Gaussian refinement in the conditioned space: pool and mean
+    # pre-scaled by rg_pose_scaling (geometry.cpp:201-246). Skipped at
+    # runtime via lax.cond when rg_refine is off (the default config only
+    # refines on the last EM iteration, config.h:15).
+    s = rg_pose_scaling
+    covar0 = jnp.eye(6, dtype=jnp.float32) * (meanshift_kernel_var * s * s)
+
+    def run_rg():
+        return fit_robust_gaussian(
+            pool * s,
+            pool_valid,
+            ms.mean * s,
+            covar0,
+            trunc_sigma=rg_trunc_sigma,
+            covar_reg_lambda=rg_covar_reg_lambda,
+            epsilon=rg_epsilon,
+            max_iters=rg_max_iters,
+        )
+
+    def skip_rg():
+        return RobustGaussianResult(
+            mean=ms.mean * s,
+            covar=covar0,
+            density=ms.confidence,
+            iters=jnp.int32(0),
+            reliable=jnp.bool_(False),
+        )
+
+    rg = jax.lax.cond(rg_refine, run_rg, skip_rg)
+    rg_ok = rg.reliable & rg_refine
+    # Undo conditioning: covar by s^2, then rvec rows/cols by the meanshift
+    # rvec scale (geometry.cpp:225-233).
+    unscale = jnp.concatenate(
+        [jnp.full((3,), 1.0 / meanshift_rvec_scale), jnp.ones((3,))]
+    )
+    covar = (rg.covar / (s * s)) * unscale[:, None] * unscale[None, :]
+    covar = jnp.where(rg_ok, covar, jnp.zeros((6, 6), jnp.float32))
+
+    mean_scaled = jnp.where(rg_refine, jnp.where(rg.reliable, rg.mean / s, ms.mean), ms.mean)
+    pose6 = jnp.concatenate(
+        [mean_scaled[:3] / meanshift_rvec_scale, mean_scaled[3:6]]
+    )
+    # On rg failure the reference keeps the meanshift mean but zero covar
+    # (geometry.cpp:236-238) — handled above. Density: rg overwrites only
+    # when reliable (fit_robust_gaussian.cu:251-253).
+    density = jnp.where(rg_refine & rg.reliable, rg.density, ms.confidence)
+
+    success = (
+        (n_points >= 4)
+        & (pose_sample_count > 0)
+        & jnp.all(jnp.isfinite(pose6))
+    )
+    pose6 = jnp.where(success, pose6, pose6_init)
+    return PoseStepResult(
+        pose6=pose6,
+        pose_covar=covar,
+        pose_density=density,
+        pose_sample_count=pose_sample_count,
+        n_points=n_points,
+        ms_iters=ms.iters,
+        rg_iters=rg.iters,
+        success=success,
+    )
