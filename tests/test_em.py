@@ -194,23 +194,23 @@ def test_collect_p3p_instances_exact():
 
 def test_pose_step_recovers_pose():
     poses, flows, depth0, _ = _window()
-    # start from a zero pose estimate for frame 0
-    poses_est = np.zeros_like(poses)
-    Rs, ts = _pose_mats(poses_est)
     p = _params()
     rig = jnp.ones((3, H, W), jnp.float32)
     res = optimize_camera_pose(
-        jnp.asarray(depth0), jnp.asarray(flows), rig, Rs, ts,
-        jnp.zeros(6), jnp.int32(0), jnp.bool_(False), jnp.bool_(True),
-        jax.random.PRNGKey(5), p,
+        jnp.asarray(depth0), jnp.asarray(flows), rig,
+        jnp.zeros((3, 6)), jnp.zeros((3, 6, 6)),
+        jnp.int32(0), jnp.bool_(False), jnp.bool_(True),
+        jnp.uint32(5), p,
         n_poses_to_sample=2048,
     )
     assert bool(res.success)
-    got = np.asarray(res.pose6)
+    got = np.asarray(res.poses6[0])
     np.testing.assert_allclose(got[:3], poses[0, :3], atol=5e-3)
     np.testing.assert_allclose(got[3:6], poses[0, 3:6], atol=2e-2)
+    # untouched rows stay zero
+    assert np.all(np.asarray(res.poses6[1:]) == 0)
     # covariance present and PSD-ish
-    cov = np.asarray(res.pose_covar)
+    cov = np.asarray(res.pose_covars[0])
     assert np.all(np.isfinite(cov))
     assert np.all(np.diag(cov) >= 0)
     # On noise-free data the fitted mode is near-degenerate, so the 3-sigma

@@ -36,6 +36,16 @@ import jax as _jax
 # Hot kernels that can tolerate lower precision opt in explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: VO/falign graphs are large and the remote-TPU
+# platform compiles slowly; caching makes every process after the first warm.
+import os as _os
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from voldor_tpu.config import VoldorConfig
 
 __version__ = "0.1.0"

@@ -100,6 +100,9 @@ class VoldorConfig:
     # 'jump'  : jump-flooding local propagation (parallel, TPU-friendly)
     # 'exact' : bit-faithful sequential chunk scan (slow; for parity tests)
     depth_local_prop_mode: str = "jump"
+    # 'tracked'   : gather-free observed-track PatchMatch cost (fast path)
+    # 'projected' : reference-exact candidate-dependent tracing
+    depth_cost_mode: str = "tracked"
     # PRNG seed for pose sampling / depth proposals (reference RAND_SEED 233,
     # optimize_depth.cu:8 / collect_p3p_instances.cu:6).
     seed: int = 233

@@ -37,7 +37,11 @@ def _mobius_combine(earlier, later):
     """
     m = jnp.einsum("...ij,...jk->...ik", later, earlier)
     scale = jnp.max(jnp.abs(m), axis=(-2, -1), keepdims=True)
-    return m / jnp.maximum(scale, 1e-30)
+    m = m / jnp.maximum(scale, 1e-30)
+    # Flush vanishing entries: the smaller eigencomponent of the cumulative
+    # product decays geometrically and would drift into f32 denormals, which
+    # execute orders of magnitude slower on this platform.
+    return jnp.where(jnp.abs(m) < 1e-20, 0.0, m)
 
 
 def _apply_mobius(m, x):

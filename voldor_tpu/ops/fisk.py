@@ -26,7 +26,10 @@ FISK_B2 = -0.0022
 MIN_OBS_FMAG = 2.0
 MAX_OBS_FMAG = 100.0
 
-_ZDE = jnp.float32(1.1920929e-07)  # FLT_EPSILON (gpu-kernels/utils.h:19)
+# FLT_EPSILON (gpu-kernels/utils.h:19). NOTE: plain Python float, not a
+# materialized jnp scalar — a pre-materialized device array captured as a
+# jit constant costs a ~30ms host sync per call on the axon TPU platform.
+_ZDE = 1.1920929e-07
 
 
 def _clamp_fmag(fmag: jax.Array) -> jax.Array:
@@ -57,24 +60,45 @@ def fisk_pdf(x: jax.Array, c: jax.Array, scale: jax.Array) -> jax.Array:
     return (c * u_negc * (1.0 / u) * (1.0 + u_negc) ** (-2.0)) / scale
 
 
+def rigidness_xy(dx1, dy1, dx2, dy2, lam, abs_rf) -> jax.Array:
+    """Per-pixel inlier probability from flow components
+    (residual_model.h:34-42).
+
+    (dx1, dy1): rigid flow; (dx2, dy2): observed flow — as separate arrays.
+    TPU note: keeping x/y components in separate (..., h, w) arrays (instead
+    of a channel-last (..., 2) axis) keeps the minor dimension wide so the
+    VPU's 128 lanes stay filled; the stacked variant measured ~60x slower.
+    """
+    obs_fmag = jnp.sqrt(dx2 * dx2 + dy2 * dy2) / abs_rf
+    ddx = dx1 - dx2
+    ddy = dy1 - dy2
+    diff_fmag = jnp.sqrt(ddx * ddx + ddy * ddy) / abs_rf
+    c = fmag_c(obs_fmag)
+    s = fmag_scale(obs_fmag)
+    p_in = fisk_pdf(diff_fmag, c, s)
+    p_out = fisk_pdf(lam * obs_fmag, c, s)
+    return p_in / (p_in + p_out)
+
+
 def rigidness(
     rigid_flow: jax.Array,
     obs_flow: jax.Array,
     lam: jax.Array,
     abs_rf: jax.Array,
 ) -> jax.Array:
-    """Per-pixel inlier probability (residual_model.h:34-42).
+    """Vector-shaped convenience wrapper over rigidness_xy.
 
-    rigid_flow, obs_flow: (..., 2) flow vectors. lam: strictness. abs_rf:
-    resize factor relative to the flow network's native resolution.
+    rigid_flow, obs_flow: (..., 2) flow vectors. Prefer rigidness_xy in hot
+    paths (see its TPU layout note).
     """
-    obs_fmag = jnp.linalg.norm(obs_flow, axis=-1) / abs_rf
-    diff_fmag = jnp.linalg.norm(rigid_flow - obs_flow, axis=-1) / abs_rf
-    c = fmag_c(obs_fmag)
-    s = fmag_scale(obs_fmag)
-    p_in = fisk_pdf(diff_fmag, c, s)
-    p_out = fisk_pdf(lam * obs_fmag, c, s)
-    return p_in / (p_in + p_out)
+    return rigidness_xy(
+        rigid_flow[..., 0],
+        rigid_flow[..., 1],
+        obs_flow[..., 0],
+        obs_flow[..., 1],
+        lam,
+        abs_rf,
+    )
 
 
 def nll_cost(

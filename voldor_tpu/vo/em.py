@@ -96,7 +96,9 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
     compute_pixel_cost (optimize_depth.cu:140-169).
 
     depth: (h, w); flows: (N, h, w, 2); Rs: (N, 3, 3); ts: (N, 3).
-    Returns (rigid (N, h, w, 2), obs (N, h, w, 2), inb (N, h, w)).
+    Returns component arrays (rigid_x, rigid_y, obs_x, obs_y: (N, h, w)
+    each, inb (N, h, w)) — separate x/y planes keep the VPU lanes full (see
+    fisk.rigidness_xy).
     """
     h, w = depth.shape
     xs, ys = _pixel_grid(h, w)
@@ -113,19 +115,19 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
         py2 = (p.fy * ny + p.cy * safe_nz) / safe_nz
         inb = (nz > 0) & (px1 >= 0) & (px1 < w) & (py1 >= 0) & (py1 < h) & active
         obs = bilinear_sample(flow, px1, py1)  # (h, w, 2)
-        rigid = jnp.stack([px2 - px1, py2 - py1], axis=-1)
+        out = (px2 - px1, py2 - py1, obs[..., 0], obs[..., 1], inb)
         # Carry: traced position advances only when in-bounds
         # (optimize_depth.cu:107 updates px1 only in the valid branch).
         px1n = jnp.where(inb, px2, px1)
         py1n = jnp.where(inb, py2, py1)
-        return (nx, ny, nz, px1n, py1n), (rigid, obs, inb)
+        return (nx, ny, nz, px1n, py1n), out
 
     N = flows.shape[0]
     active = jnp.arange(N) < active_n
-    (_, _, _, _, _), (rigid, obs, inb) = jax.lax.scan(
+    _, (rigid_x, rigid_y, obs_x, obs_y, inb) = jax.lax.scan(
         step, (ox, oy, oz, xs, ys), (Rs, ts, flows, active)
     )
-    return rigid, obs, inb
+    return rigid_x, rigid_y, obs_x, obs_y, inb
 
 
 def prior_terms(depth, priors, dp_Rs, dp_ts, p: EmParams):
@@ -152,10 +154,140 @@ def prior_terms(depth, priors, dp_Rs, dp_ts, p: EmParams):
     return jax.vmap(one)(dp_Rs, dp_ts)
 
 
+def precompute_obs_tracks(flows, active_n, p: EmParams):
+    """Depth-independent observed-flow track through the window.
+
+    TPU-first redesign of the cost-evaluation inner loop: the reference
+    re-traces sample positions per *candidate depth* (projected track,
+    optimize_depth.cu:150-161), making every PatchMatch proposal a fresh
+    h*w*N bilinear gather — the dominant cost on TPU. Instead we trace along
+    the *observed* flow composition once per depth round: P_0 = grid,
+    P_{f+1} = P_f + flows[f](P_f). At the optimum the projected and observed
+    tracks coincide (that is what rigidness ~ 1 means), so the fixed point
+    is unchanged; off-optimum candidates are scored against the observed
+    track of the pixel, which is depth-independent — so every candidate
+    evaluation becomes pure elementwise math.
+
+    Returns ((track_x, track_y, obs_x, obs_y) each (N, h, w),
+    track_inb (N, h, w)).
+    """
+    N, h, w = flows.shape[0], flows.shape[1], flows.shape[2]
+    xs, ys = _pixel_grid(h, w)
+
+    def step(carry, frame):
+        px, py = carry
+        flow, active = frame
+        inb = (px >= 0) & (px < w) & (py >= 0) & (py < h) & active
+        obs = bilinear_sample(flow, px, py)
+        out = (px, py, obs[..., 0], obs[..., 1], inb)
+        pxn = jnp.where(inb, px + obs[..., 0], px)
+        pyn = jnp.where(inb, py + obs[..., 1], py)
+        return (pxn, pyn), out
+
+    active = jnp.arange(N) < active_n
+    _, (tx, ty, ox_, oy_, inb) = jax.lax.scan(step, (xs, ys), (flows, active))
+    return (tx, ty, ox_, oy_), inb
+
+
+def compute_cost_map_tracked(
+    depth,
+    track,
+    track_inb,
+    rigidness,
+    Rs,
+    ts,
+    prior_samples,
+    active_n,
+    p: EmParams,
+):
+    """Gather-free Fisk cost of a candidate depth map against precomputed
+    observed tracks (see precompute_obs_tracks).
+
+    prior_samples: None or (target (D,h,w), pconf (D,h,w), conf (D,h,w),
+    weights handled by caller) from precompute_prior_samples.
+    """
+    h, w = depth.shape
+    xs, ys = _pixel_grid(h, w)
+    ox, oy, oz = _backproject(xs, ys, depth, p)
+    cost = jnp.zeros((h, w), jnp.float32)
+    wsum = jnp.zeros((h, w), jnp.float32)
+
+    if track is not None:
+        track_x, track_y, obs_x, obs_y = track
+
+        def step(carry, frame):
+            ox, oy, oz, cost, wsum = carry
+            R, t, tx, ty, obx, oby, inb, rig = frame
+            nx = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
+            ny = R[1, 0] * ox + R[1, 1] * oy + R[1, 2] * oz + t[1]
+            nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+            safe_nz = jnp.where(jnp.abs(nz) < 1e-12, 1e-12, nz)
+            px2 = (p.fx * nx + p.cx * safe_nz) / safe_nz
+            py2 = (p.fy * ny + p.cy * safe_nz) / safe_nz
+            use = inb & (nz > 0)
+            r = fisk.rigidness_xy(
+                px2 - tx, py2 - ty, obx, oby, p.lam, p.abs_resize_factor
+            )
+            cost = cost + jnp.where(use, -rig * jnp.log(jnp.maximum(r, 1e-30)), 0.0)
+            wsum = wsum + jnp.where(use, rig, 0.0)
+            return (nx, ny, nz, cost, wsum), None
+
+        (_, _, _, cost, wsum), _ = jax.lax.scan(
+            step,
+            (ox, oy, oz, cost, wsum),
+            (Rs, ts, track_x, track_y, obs_x, obs_y, track_inb, rigidness),
+        )
+
+    if prior_samples is not None:
+        target, weight, dp_Rs, dp_ts = prior_samples
+
+        def pstep(carry, frame):
+            cost, wsum = carry
+            R, t, tgt, wgt = frame
+            nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+            use = (nz > 0) & (tgt > 0) & (wgt > 0)
+            r = fisk.depth_rigidness(
+                jnp.maximum(nz, 1e-12), jnp.maximum(tgt, 1e-12),
+                p.basefocal, p.omega, p.abs_resize_factor,
+            )
+            cost = cost + jnp.where(use, -wgt * jnp.log(jnp.maximum(r, 1e-30)), 0.0)
+            wsum = wsum + jnp.where(use, wgt, 0.0)
+            return (cost, wsum), None
+
+        (cost, wsum), _ = jax.lax.scan(
+            pstep, (cost, wsum), (dp_Rs, dp_ts, target, weight)
+        )
+
+    cost = cost / jnp.maximum(wsum, 1.1920929e-07)
+    return jnp.where(wsum == 0, jnp.inf, cost)
+
+
+def precompute_prior_samples(
+    depth, priors, dp_pconfs, dp_confs, dp_Rs, dp_ts, p: EmParams
+):
+    """Sample prior depth/conf maps at the projections of the *current*
+    depth (once per round) so candidate evaluations stay gather-free.
+
+    Returns (target (D,h,w), weight (D,h,w), dp_Rs, dp_ts) for
+    compute_cost_map_tracked.
+    """
+    oz, px, py, inb = prior_terms(depth, priors, dp_Rs, dp_ts, p)
+    target = jax.vmap(bilinear_sample)(priors, px, py)
+    pconf = jax.vmap(bilinear_sample)(dp_pconfs, px, py)
+    conf = jax.vmap(bilinear_sample)(dp_confs, px, py)
+    D = priors.shape[0]
+    slot_w = jnp.where(
+        (p.disp_delta > 0) & (jnp.arange(D) == 0), p.disp_delta, p.delta
+    )[:, None, None]
+    weight = jnp.where(inb, pconf * conf * slot_w, 0.0)
+    target = jnp.where(inb, target, 0.0)
+    return target, weight, dp_Rs, dp_ts
+
+
 def update_rigidness(depth, flows, Rs, ts, active_n, p: EmParams):
     """Recompute the per-frame rigidness maps (optimize_depth.cu:84-116)."""
-    rigid, obs, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
-    r = fisk.rigidness(rigid, obs, p.lam, p.abs_resize_factor)
+    rx, ry, obx, oby, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
+    r = fisk.rigidness_xy(rx, ry, obx, oby, p.lam, p.abs_resize_factor)
     return jnp.where(inb, r, 0.0)
 
 
@@ -197,8 +329,8 @@ def compute_cost_map(
     wsum = jnp.zeros((h, w), jnp.float32)
 
     if flows is not None and flows.shape[0] > 0:
-        rigid, obs, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
-        r = fisk.rigidness(rigid, obs, p.lam, p.abs_resize_factor)
+        rx, ry, obx, oby, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
+        r = fisk.rigidness_xy(rx, ry, obx, oby, p.lam, p.abs_resize_factor)
         c = -rigidness * jnp.log(jnp.maximum(r, 1e-30))
         cost = cost + jnp.sum(jnp.where(inb, c, 0.0), axis=0)
         wsum = wsum + jnp.sum(jnp.where(inb, rigidness, 0.0), axis=0)
@@ -266,20 +398,26 @@ def optimize_depth(
     local_prop_width: int = 32,
     range_factor: float = 1.0,
     local_prop_mode: str = "jump",
+    cost_fn=None,
 ):
     """One full depth-update round (optimize_depth.cu:471-491).
 
     Returns (depth, cost). `cost` must be the cost map of `depth` on entry
-    (compute it with compute_cost_map); the pair stays consistent
-    throughout.
+    (under the same cost function); the pair stays consistent throughout.
+    `cost_fn(depth) -> cost map` overrides the default projected-track cost
+    (pass a compute_cost_map_tracked closure for the gather-free fast path).
     """
     h, w = depth.shape
 
-    def cost_of(candidate):
-        return compute_cost_map(
-            candidate, flows, rigidness, Rs, ts, priors, dp_pconfs, dp_confs,
-            dp_Rs, dp_ts, active_n, p,
-        )
+    if cost_fn is not None:
+        cost_of = cost_fn
+    else:
+
+        def cost_of(candidate):
+            return compute_cost_map(
+                candidate, flows, rigidness, Rs, ts, priors, dp_pconfs,
+                dp_confs, dp_Rs, dp_ts, active_n, p,
+            )
 
     def accept(depth, cost, candidate, mask):
         cand_cost = cost_of(candidate)

@@ -1,10 +1,17 @@
 """The VO engine driver: init, bootstrap, and the EM solve loop.
 
 Mirrors the VOLDOR class (voldor/voldor.h:14-83, voldor.cpp:4-331) with a
-device-resident state pytree. The EM phases are fused jitted dispatches
-(pose step: voldor_tpu.vo.pose_step; depth step: voldor_tpu.vo.em); the
-outer loop, window truncation, and world-scale gauge fixing stay in host
-Python exactly as the reference keeps them on the CPU.
+fully device-resident state pytree. The EM phases are fused jitted
+dispatches (pose step: voldor_tpu.vo.pose_step; depth step:
+voldor_tpu.vo.em); only the outer loop and the window-truncation decisions
+run on the host, fetching a handful of scalars per frame.
+
+Performance notes vs the reference:
+  * poses/covariances never leave the device during the solve (the CUDA
+    version round-trips them every kernel call);
+  * the PatchMatch inner loop uses the gather-free observed-track cost by
+    default (em.precompute_obs_tracks) — set cfg.depth_cost_mode =
+    'projected' for the reference's exact candidate-dependent tracing.
 """
 
 from __future__ import annotations
@@ -33,22 +40,21 @@ from voldor_tpu.vo.pose_step import optimize_camera_pose
         "rig_only",
         "use_flows",
         "use_priors",
+        "tracked",
     ),
 )
 def _depth_round(
     depth,
     flows,
     rigidness,
-    Rs,
-    ts,
+    poses6,
     priors,
     dp_pconfs,
     dp_confs,
-    dp_Rs,
-    dp_ts,
+    dp_poses6,
     active_n,
     params: em.EmParams,
-    key,
+    seed,
     fb_emm,
     fb_ncp,
     range_factor,
@@ -61,9 +67,15 @@ def _depth_round(
     rig_only,
     use_flows,
     use_priors,
+    tracked,
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
     FB-smoothing of the weights, proposal rounds, then rigidness refresh."""
+    key = jax.random.PRNGKey(seed)
+    Rs = lie.so3_exp(poses6[:, :3])
+    ts = poses6[:, 3:6]
+    dp_Rs = lie.so3_exp(dp_poses6[:, :3])
+    dp_ts = dp_poses6[:, 3:6]
     f = flows if use_flows else None
     pr = priors if use_priors else None
 
@@ -74,10 +86,31 @@ def _depth_round(
             dp_confs = em.fb_smooth(dp_confs, fb_emm, fb_ncp)
 
     if not rig_only:
-        cost = em.compute_cost_map(
-            depth, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs, dp_Rs, dp_ts,
-            active_n, params,
-        )
+        if tracked:
+            track = tinb = None
+            if use_flows:
+                track, tinb = em.precompute_obs_tracks(flows, active_n, params)
+            pr_samples = None
+            if use_priors:
+                pr_samples = em.precompute_prior_samples(
+                    depth, priors, dp_pconfs, dp_confs, dp_Rs, dp_ts, params
+                )
+
+            def cost_fn(d):
+                return em.compute_cost_map_tracked(
+                    d, track, tinb, rigidness, Rs, ts, pr_samples,
+                    active_n, params,
+                )
+
+        else:
+
+            def cost_fn(d):
+                return em.compute_cost_map(
+                    d, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs,
+                    dp_Rs, dp_ts, active_n, params,
+                )
+
+        cost = cost_fn(depth)
         depth, cost = em.optimize_depth(
             depth, cost, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs, dp_Rs,
             dp_ts, active_n, params, key,
@@ -86,6 +119,7 @@ def _depth_round(
             local_prop_width=lwidth,
             range_factor=range_factor,
             local_prop_mode=mode,
+            cost_fn=cost_fn,
         )
 
     if use_flows:
@@ -102,24 +136,40 @@ def fb_smooth_masked(rigidness, active_n, fb_emm, fb_ncp):
     return jnp.where(active, smoothed, rigidness)
 
 
+@jax.jit
+def _rigidness_densities(rigidness):
+    return jnp.mean(rigidness, axis=(1, 2))
+
+
+@jax.jit
+def _normalize_world_scale(poses6, depth, active_n):
+    """Mono gauge fix: mean translation norm over the window -> 1
+    (voldor.cpp:309-317)."""
+    active = jnp.arange(poses6.shape[0]) < active_n
+    norms = jnp.linalg.norm(poses6[:, 3:6], axis=-1) * active
+    total = jnp.sum(norms)
+    s = jnp.where(total > 0, active_n / jnp.maximum(total, 1e-30), 1.0)
+    poses6 = poses6.at[:, 3:6].multiply(jnp.where(active[:, None], s, 1.0))
+    return poses6, depth * s
+
+
 @dataclass
 class VoldorEngine:
     """Device-resident EM state + the reference's solve-loop control flow."""
 
     cfg: VoldorConfig
-    # state (populated by init)
     flows: jax.Array | None = None  # (N, h, w, 2)
     rigidness: jax.Array | None = None  # (N, h, w)
     depth: jax.Array | None = None  # (h, w)
-    poses: np.ndarray | None = None  # (N, 6) host copy [rvec, tvec]
-    pose_covars: np.ndarray | None = None  # (N, 6, 6)
-    pose_densities: np.ndarray | None = None  # (N,)
-    pose_rigidness_densities: np.ndarray | None = None  # (N,)
-    pose_sample_counts: np.ndarray | None = None  # (N,)
+    poses6: jax.Array | None = None  # (N, 6) device [rvec, tvec]
+    pose_covars: jax.Array | None = None  # (N, 6, 6) device
+    pose_densities: np.ndarray | None = None  # (N,) host (truncation policy)
+    pose_rigidness_densities: np.ndarray | None = None  # (N,) host
+    pose_sample_counts: np.ndarray | None = None  # (N,) host
     priors: jax.Array | None = None  # (D, h, w)
     dp_pconfs: jax.Array | None = None
     dp_confs: jax.Array | None = None
-    dp_poses: np.ndarray | None = None  # (D, 6)
+    dp_poses6: jax.Array | None = None  # (D, 6) device
     has_disparity: bool = False
     n_flows: int = 0
     n_flows_init: int = 0
@@ -128,11 +178,14 @@ class VoldorEngine:
     h: int = 0
     iters_cur: int = 0
     iters_remain: int = 0
-    _key: jax.Array = field(default_factory=lambda: jax.random.PRNGKey(233))
+    _seed_counter: int = 0
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _next_seed(self):
+        """Fresh uint32 seed per stochastic dispatch; PRNG keys are derived
+        inside the jits (an eager jax.random.split costs a full tunnel round
+        trip on the remote-TPU platform)."""
+        self._seed_counter += 1
+        return np.uint32((self.cfg.seed * 7919 + self._seed_counter) & 0xFFFFFFFF)
 
     # ------------------------------------------------------------------
     def init(
@@ -151,7 +204,7 @@ class VoldorEngine:
         into the prior camera.
         """
         cfg = self.cfg
-        self._key = jax.random.PRNGKey(cfg.seed)
+        self._seed_counter = 0
         flows = np.ascontiguousarray(flows, np.float32)
         if cfg.resize_factor != 1.0:
             n, h0, w0, _ = flows.shape
@@ -203,8 +256,8 @@ class VoldorEngine:
 
         self.flows = jnp.asarray(flows)
         self.rigidness = jnp.ones((N, h, w), jnp.float32)
-        self.poses = np.zeros((N, 6), np.float32)
-        self.pose_covars = np.zeros((N, 6, 6), np.float32)
+        self.poses6 = jnp.zeros((N, 6), jnp.float32)
+        self.pose_covars = jnp.zeros((N, 6, 6), jnp.float32)
         self.pose_densities = np.zeros(N, np.float32)
         self.pose_rigidness_densities = np.zeros(N, np.float32)
         self.pose_sample_counts = np.zeros(N, np.int32)
@@ -213,7 +266,7 @@ class VoldorEngine:
             self.priors = jnp.asarray(np.stack(prior_list))
             self.dp_pconfs = jnp.asarray(np.stack(prior_pconf_list))
             self.dp_confs = jnp.ones((D, h, w), jnp.float32)
-            self.dp_poses = np.stack(prior_pose_list)
+            self.dp_poses6 = jnp.asarray(np.stack(prior_pose_list))
             self.depth = self.priors[0]
             if not self.has_disparity:
                 # fuse priors into the initial depth (voldor.cpp:111-117)
@@ -222,7 +275,7 @@ class VoldorEngine:
             self.priors = jnp.zeros((0, h, w), jnp.float32)
             self.dp_pconfs = jnp.zeros((0, h, w), jnp.float32)
             self.dp_confs = jnp.zeros((0, h, w), jnp.float32)
-            self.dp_poses = np.zeros((0, 6), np.float32)
+            self.dp_poses6 = jnp.zeros((0, 6), jnp.float32)
             self.depth = jnp.ones((h, w), jnp.float32)
 
         return self
@@ -230,16 +283,6 @@ class VoldorEngine:
     # ------------------------------------------------------------------
     def _params(self) -> em.EmParams:
         return em.EmParams.from_config(self.cfg, self.has_disparity)
-
-    def _pose_mats(self):
-        Rs = np.asarray(lie.so3_exp(jnp.asarray(self.poses[:, :3])))
-        return jnp.asarray(Rs), jnp.asarray(self.poses[:, 3:6])
-
-    def _dp_pose_mats(self):
-        if self.n_depth_priors == 0:
-            return jnp.zeros((0, 3, 3)), jnp.zeros((0, 3))
-        Rs = np.asarray(lie.so3_exp(jnp.asarray(self.dp_poses[:, :3])))
-        return jnp.asarray(Rs), jnp.asarray(self.dp_poses[:, 3:6])
 
     # ------------------------------------------------------------------
     def bootstrap(self):
@@ -249,12 +292,11 @@ class VoldorEngine:
             [[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1]], jnp.float32
         )
         R, t, _ = epipolar.estimate_pose_epipolar(
-            self.flows[0], K, self._next_key()
+            self.flows[0], K, jax.random.PRNGKey(int(self._next_seed()))
         )
         self.depth = epipolar.estimate_depth_closed_form(self.flows[0], K, R, t)
-        rvec = np.asarray(lie.so3_log(R))
-        self.poses[0, :3] = rvec
-        self.poses[0, 3:6] = np.asarray(t)
+        pose0 = jnp.concatenate([lie.so3_log(R), t])
+        self.poses6 = self.poses6.at[0].set(pose0)
 
     # ------------------------------------------------------------------
     def solve(self) -> int:
@@ -268,7 +310,9 @@ class VoldorEngine:
             self.optimize_cameras()
             self._run_depth_round(rigidness_only=not cfg.optimize_depth)
             if cfg.norm_world_scale and self.n_depth_priors == 0:
-                self.normalize_world_scale()
+                self.poses6, self.depth = _normalize_world_scale(
+                    self.poses6, self.depth, jnp.int32(self.n_flows)
+                )
         return self.iters_cur
 
     # ------------------------------------------------------------------
@@ -278,14 +322,13 @@ class VoldorEngine:
         cfg = self.cfg
         allow_trunc = self.iters_cur > cfg.no_trunc_iters
         params = self._params()
-        Rs, ts = self._pose_mats()
+        rig_dens = np.asarray(_rigidness_densities(self.rigidness))
 
         for i in range(self.n_flows):
-            rig_density = float(jnp.mean(self.rigidness[i]))
-            self.pose_rigidness_densities[i] = rig_density
+            self.pose_rigidness_densities[i] = rig_dens[i]
 
             success = False
-            if (not allow_trunc) or rig_density > cfg.trunc_rigidness_density:
+            if (not allow_trunc) or rig_dens[i] > cfg.trunc_rigidness_density:
                 rg_refine = bool(cfg.rg_refine) and (
                     not cfg.rg_refine_last_only or self.iters_remain == 0
                 )
@@ -293,13 +336,12 @@ class VoldorEngine:
                     self.depth,
                     self.flows,
                     self.rigidness,
-                    Rs,
-                    ts,
-                    jnp.asarray(self.poses[i]),
+                    self.poses6,
+                    self.pose_covars,
                     jnp.int32(i),
                     jnp.bool_(self.pose_sample_counts[i] != 0),
                     jnp.bool_(rg_refine),
-                    self._next_key(),
+                    self._next_seed(),
                     params,
                     rigidness_threshold=cfg.rigidness_threshold,
                     rigidness_sum_threshold=cfg.rigidness_sum_threshold,
@@ -319,15 +361,16 @@ class VoldorEngine:
                     rg_epsilon=cfg.rg_epsilon,
                     rg_max_iters=cfg.rg_max_iters,
                 )
-                success = bool(res.success)
+                self.poses6 = res.poses6
+                self.pose_covars = res.pose_covars
+                # one small host fetch per frame for the truncation policy
+                success_, density_, count_ = jax.device_get(
+                    (res.success, res.pose_density, res.pose_sample_count)
+                )
+                success = bool(success_)
                 if success:
-                    self.poses[i] = np.asarray(res.pose6)
-                    self.pose_covars[i] = np.asarray(res.pose_covar)
-                    self.pose_densities[i] = float(res.pose_density)
-                    self.pose_sample_counts[i] = int(res.pose_sample_count)
-                    # refresh the pose matrices used by later frames
-                    Rs = Rs.at[i].set(lie.so3_exp(jnp.asarray(self.poses[i, :3])))
-                    ts = ts.at[i].set(jnp.asarray(self.poses[i, 3:6]))
+                    self.pose_densities[i] = density_
+                    self.pose_sample_counts[i] = count_
 
             if (not success) or (
                 allow_trunc and self.pose_densities[i] < cfg.trunc_sample_density
@@ -341,9 +384,6 @@ class VoldorEngine:
     # ------------------------------------------------------------------
     def _run_depth_round(self, prior_only: bool = False, rigidness_only: bool = False):
         cfg = self.cfg
-        params = self._params()
-        Rs, ts = self._pose_mats()
-        dp_Rs, dp_ts = self._dp_pose_mats()
         use_flows = (self.n_flows > 0) and not prior_only
         use_priors = self.n_depth_priors > 0
         if not use_flows and not use_priors:
@@ -352,16 +392,14 @@ class VoldorEngine:
             self.depth,
             self.flows,
             self.rigidness,
-            Rs,
-            ts,
+            self.poses6,
             self.priors,
             self.dp_pconfs,
             self.dp_confs,
-            dp_Rs,
-            dp_ts,
+            self.dp_poses6,
             jnp.int32(self.n_flows if use_flows else 0),
-            params,
-            self._next_key(),
+            self._params(),
+            self._next_seed(),
             jnp.float32(cfg.fb_emm),
             jnp.float32(cfg.fb_no_change_prob),
             jnp.float32(cfg.depth_range_factor),
@@ -373,21 +411,18 @@ class VoldorEngine:
             rig_only=rigidness_only,
             use_flows=use_flows,
             use_priors=use_priors,
+            tracked=cfg.depth_cost_mode == "tracked",
         )
 
     # ------------------------------------------------------------------
-    def normalize_world_scale(self):
-        """Mono gauge fix: mean translation norm over the window -> 1
-        (voldor.cpp:309-317)."""
-        if self.n_flows == 0:
-            return
-        norms = np.linalg.norm(self.poses[: self.n_flows, 3:6], axis=-1)
-        total = float(np.sum(norms))
-        if total <= 0:
-            return
-        s = self.n_flows / total
-        self.poses[: self.n_flows, 3:6] *= s
-        self.depth = self.depth * s
+    @property
+    def poses(self) -> np.ndarray:
+        """(N, 6) host copy of the window poses."""
+        return np.asarray(self.poses6)
+
+    @property
+    def pose_covars_host(self) -> np.ndarray:
+        return np.asarray(self.pose_covars)
 
     # ------------------------------------------------------------------
     def depth_confidence(self) -> np.ndarray:

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from voldor_tpu.ops import p3p
+from voldor_tpu.ops import lie, p3p
 from voldor_tpu.ops.image import bilinear_sample
 from voldor_tpu.ops.meanshift import meanshift
 from voldor_tpu.ops.robust_gaussian import RobustGaussianResult, fit_robust_gaussian
@@ -23,8 +23,8 @@ from voldor_tpu.vo.em import EmParams, _backproject, _pixel_grid
 
 
 class PoseStepResult(NamedTuple):
-    pose6: jax.Array  # (6,) [rvec, tvec]
-    pose_covar: jax.Array  # (6, 6); zeros when rg fit unreliable/skipped
+    poses6: jax.Array  # (N, 6): full window poses, row active_idx updated
+    pose_covars: jax.Array  # (N, 6, 6): row active_idx updated
     pose_density: jax.Array  # meanshift confidence or rg inlier density
     pose_sample_count: jax.Array  # int32: usable P3P solutions in the pool
     n_points: jax.Array  # int32: collected correspondences
@@ -155,13 +155,12 @@ def optimize_camera_pose(
     depth,
     flows,
     rigidness,
-    Rs,
-    ts,
-    pose6_init,
+    poses6,
+    pose_covars,
     active_idx,
     successive_pose,
     rg_refine,
-    key,
+    seed,
     p: EmParams,
     *,
     rigidness_threshold=0.5,
@@ -184,11 +183,16 @@ def optimize_camera_pose(
 ) -> PoseStepResult:
     """One camera-pose step (geometry.cpp:5-265), fully fused on device.
 
-    pose6_init: (6,) current pose estimate of the active camera (used as the
-    meanshift warm start when successive_pose). rg_refine may be a traced
-    bool — both branches are cheap relative to the P3P batch.
+    poses6: (N, 6) full window pose state (row active_idx is the pose being
+    refined; it doubles as the meanshift warm start when successive_pose).
+    pose_covars: (N, 6, 6). Both are returned with the active row updated so
+    the whole pose state stays device-resident across the window sweep.
     """
-    k_sample, k_ms = jax.random.split(key)
+    Rs = lie.so3_exp(poses6[:, :3])
+    ts = poses6[:, 3:6]
+    pose6_init = poses6[active_idx]
+
+    k_sample, k_ms = jax.random.split(jax.random.PRNGKey(seed))
     p2map, p3map, validmap = collect_p3p_instances(
         depth, flows, rigidness, Rs, ts, active_idx, p,
         rigidness_threshold=rigidness_threshold,
@@ -279,9 +283,13 @@ def optimize_camera_pose(
         & jnp.all(jnp.isfinite(pose6))
     )
     pose6 = jnp.where(success, pose6, pose6_init)
+    poses6_out = poses6.at[active_idx].set(pose6)
+    covars_out = pose_covars.at[active_idx].set(
+        jnp.where(success, covar, pose_covars[active_idx])
+    )
     return PoseStepResult(
-        pose6=pose6,
-        pose_covar=covar,
+        poses6=poses6_out,
+        pose_covars=covars_out,
         pose_density=density,
         pose_sample_count=pose_sample_count,
         n_points=n_points,
