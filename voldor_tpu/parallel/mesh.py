@@ -1,0 +1,110 @@
+"""Device-mesh sharding of the VO EM step.
+
+The reference is single-GPU (SURVEY.md 2.8); the TPU-native scaling axes we
+add are:
+
+  * sp (spatial): the pixel grid's row axis — depth / rigidness / flow maps
+    shard across chips, XLA inserts halo/all-gather collectives for the
+    bilinear samplers;
+  * hyp (hypothesis / data-parallel): the 8192 P3P pose hypotheses — each
+    chip solves its slice of minimal problems, and meanshift / robust-
+    Gaussian reductions become cross-chip psums automatically.
+
+Both axes ride on one jit with NamedSharding annotations — no hand-written
+collectives. `multichip_em_step` is the "full training step" analog: one
+camera-pose step followed by one depth/rigidness round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from voldor_tpu.config import VoldorConfig
+from voldor_tpu.vo import em
+from voldor_tpu.vo.engine import _depth_round
+from voldor_tpu.vo.pose_step import optimize_camera_pose
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_window(mesh: Mesh, flows, rigidness, depth):
+    """Place the window state row-sharded over the mesh's sp axis."""
+    s_flows = NamedSharding(mesh, P(None, "sp", None, None))
+    s_rig = NamedSharding(mesh, P(None, "sp", None))
+    s_depth = NamedSharding(mesh, P("sp", None))
+    return (
+        jax.device_put(flows, s_flows),
+        jax.device_put(rigidness, s_rig),
+        jax.device_put(depth, s_depth),
+    )
+
+
+def multichip_em_step(mesh: Mesh, cfg: VoldorConfig, flows, rigidness, depth, poses6):
+    """One sharded EM step: pose step (frame 0) + depth round.
+
+    flows (N, h, w, 2), rigidness (N, h, w), depth (h, w) are expected
+    row-sharded (see shard_window); poses6 (N, 6) replicated. Returns
+    (poses6, pose_covars, depth, rigidness) with the same shardings.
+    """
+    params = em.EmParams.from_config(cfg, has_disparity=False)
+    N = flows.shape[0]
+    covars = jax.device_put(
+        jnp.zeros((N, 6, 6), jnp.float32), NamedSharding(mesh, P())
+    )
+    poses6 = jax.device_put(jnp.asarray(poses6), NamedSharding(mesh, P()))
+
+    res = optimize_camera_pose(
+        depth,
+        flows,
+        rigidness,
+        poses6,
+        covars,
+        jnp.int32(0),
+        jnp.bool_(False),
+        jnp.bool_(True),
+        np.uint32(cfg.seed),
+        params,
+        n_poses_to_sample=cfg.n_poses_to_sample,
+    )
+
+    dp0 = jax.device_put(
+        jnp.zeros((0, depth.shape[0], depth.shape[1]), jnp.float32),
+        NamedSharding(mesh, P()),
+    )
+    dpp0 = jax.device_put(jnp.zeros((0, 6), jnp.float32), NamedSharding(mesh, P()))
+    depth, rigidness, _ = _depth_round(
+        depth,
+        flows,
+        rigidness,
+        res.poses6,
+        dp0,
+        dp0,
+        dp0,
+        dpp0,
+        jnp.int32(N),
+        params,
+        np.uint32(cfg.seed + 1),
+        jnp.float32(cfg.fb_emm),
+        jnp.float32(cfg.fb_no_change_prob),
+        jnp.float32(cfg.depth_range_factor),
+        n_rand=cfg.depth_rand_samples,
+        gstep=cfg.depth_global_prop_step,
+        lwidth=cfg.depth_local_prop_width,
+        mode=cfg.depth_local_prop_mode,
+        fb=bool(cfg.fb_smooth),
+        rig_only=False,
+        use_flows=True,
+        use_priors=False,
+        tracked=cfg.depth_cost_mode == "tracked",
+    )
+    return res.poses6, res.pose_covars, depth, rigidness
