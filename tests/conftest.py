@@ -15,10 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persistent compilation cache keeps repeated pytest runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# NOTE: the persistent compilation cache is intentionally NOT enabled:
+# cache-loaded executables run pathologically slowly on the axon TPU
+# platform and XLA:CPU AOT reloads warn about machine-feature mismatches.
 
 # The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
 # only the config knob reliably pins tests to local CPU.

@@ -1,0 +1,153 @@
+"""Frame-alignment tests on synthetic two-frame scenes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voldor_tpu.falign.api import falign
+from voldor_tpu.ops import lie
+
+from synthetic import plane_depth
+
+H, W = 64, 96
+FX = FY = 70.0
+CX, CY = W / 2, H / 2
+K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
+
+
+def _norm(v):
+    v = np.asarray(v, np.float64)
+    return v / np.linalg.norm(v)
+
+
+# Three non-parallel planes: point-to-plane alignment is fully constrained
+# (two planes would leave translation along their intersection line free).
+PLANES = [
+    (_norm([0.15, 0.2, 1.0]), 7.0),
+    (_norm([-0.45, 0.05, 1.0]), 6.0),
+    (_norm([0.2, -0.5, 1.0]), 6.5),
+]
+
+
+def _world_texture(p3):
+    """Smooth world-anchored intensity so photometric terms are consistent."""
+    return (
+        0.5
+        + 0.25 * np.sin(1.3 * p3[..., 0] + 0.7 * p3[..., 1])
+        + 0.25 * np.cos(0.9 * p3[..., 1] + 0.5 * p3[..., 2] * 0)
+    ).astype(np.float32)
+
+
+def _make_pair(pose6_rel):
+    """Two cameras viewing the wedge; camera k's Twc: cam->world.
+
+    pose6_rel: frame-1 cam->world pose (frame 0 is world).
+    Returns depths (2, h, w), images (2, h, w).
+    """
+    R1 = np.asarray(lie.so3_exp(jnp.asarray(pose6_rel[:3].astype(np.float32))))
+    t1 = pose6_rel[3:6]
+    # world->cam for plane_depth: X_c = R_wc X_w + t_wc
+    R1_wc = R1.T
+    t1_wc = -R1.T @ t1
+    d0 = plane_depth(K, np.eye(3), np.zeros(3), PLANES, H, W)
+    d1 = plane_depth(K, R1_wc, t1_wc, PLANES, H, W)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    Kinv = np.linalg.inv(K)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T
+    p3w_0 = rays * d0[..., None]
+    p3c_1 = rays * d1[..., None]
+    p3w_1 = p3c_1 @ R1.T + t1  # wait: X_w = R1 X_c + t1 (cam->world)
+    img0 = _world_texture(p3w_0)
+    img1 = _world_texture(p3w_1)
+    return np.stack([d0, d1]).astype(np.float32), np.stack([img0, img1])
+
+
+TRUE_POSE = np.array([0.01, -0.02, 0.005, 0.15, 0.05, -0.1], np.float32)
+
+
+def test_falign_recovers_relative_pose_geometry_only():
+    depths, _ = _make_pair(TRUE_POSE)
+    init = np.zeros((2, 6), np.float32)
+    init[1] = TRUE_POSE + np.array([0.004, -0.003, 0.002, 0.03, -0.02, 0.02], np.float32)
+    ret = falign(
+        depths, FX, FY, CX, CY,
+        poses_init=init, vbf=FX * 5, crw=0.0, stride=2,
+    )
+    # relative pose frame0->frame1 in cam->world form; frame poses are
+    # gauge-free, compare the relative transform
+    T0 = np.asarray(lie.pose6_to_T44(jnp.asarray(ret["poses_ret"][0])))
+    T1 = np.asarray(lie.pose6_to_T44(jnp.asarray(ret["poses_ret"][1])))
+    Trel = np.linalg.inv(T0) @ T1
+    Ttrue = np.asarray(lie.pose6_to_T44(jnp.asarray(TRUE_POSE)))
+    np.testing.assert_allclose(Trel[:3, :3], Ttrue[:3, :3], atol=3e-3)
+    np.testing.assert_allclose(Trel[:3, 3], Ttrue[:3, 3], atol=2e-2)
+    # scores high on a consistent pair
+    assert np.nanmean(ret["visibility_mat"]) > 0.8
+    assert np.nanmean(ret["consistency_mat"]) > 0.85
+    assert ret["poses_covar"].shape == (2, 6, 6)
+    assert np.all(np.isfinite(ret["poses_covar"]))
+    assert np.all(np.linalg.matrix_rank(ret["poses_covar"]) == 6)
+
+
+def test_falign_photometric_refinement():
+    depths, images = _make_pair(TRUE_POSE)
+    init = np.zeros((2, 6), np.float32)
+    init[1] = TRUE_POSE + np.array([0.003, 0.002, -0.002, 0.02, 0.02, -0.015], np.float32)
+    ret = falign(
+        depths, FX, FY, CX, CY, images=images,
+        poses_init=init, vbf=FX * 5, crw=10.0, stride=2,
+    )
+    T0 = np.asarray(lie.pose6_to_T44(jnp.asarray(ret["poses_ret"][0])))
+    T1 = np.asarray(lie.pose6_to_T44(jnp.asarray(ret["poses_ret"][1])))
+    Trel = np.linalg.inv(T0) @ T1
+    Ttrue = np.asarray(lie.pose6_to_T44(jnp.asarray(TRUE_POSE)))
+    np.testing.assert_allclose(Trel[:3, :3], Ttrue[:3, :3], atol=3e-3)
+    np.testing.assert_allclose(Trel[:3, 3], Ttrue[:3, 3], atol=2e-2)
+    assert np.nanmean(ret["consistency_mat"]) > 0.85
+
+
+def test_falign_7dof_recovers_scale():
+    depths, _ = _make_pair(TRUE_POSE)
+    s = 1.12
+    depths_scaled = depths.copy()
+    depths_scaled[1] *= s  # frame 1's map is mis-scaled by s
+    init = np.zeros((2, 6), np.float32)
+    init[1] = TRUE_POSE
+    ret = falign(
+        depths_scaled, FX, FY, CX, CY,
+        poses_init=init, vbf=FX * 5, crw=0.0, optimize_7dof=True, stride=2,
+    )
+    # aligning frame 1 needs exp(d_scale_1 - d_scale_0) ~ 1/s
+    ratio = ret["scaling_factor"][1] / ret["scaling_factor"][0]
+    assert ratio == pytest.approx(1.0 / s, rel=0.05)
+    assert ret["poses_covar"].shape == (2, 7, 7)
+    assert np.all(ret["poses_covar"][:, 6, 6] > 0)
+    # cross pose/scale terms must be zero (reference extracts only diagonal
+    # blocks, align_frame.cpp:174-195)
+    assert np.all(ret["poses_covar"][:, :6, 6] == 0)
+
+
+def test_falign_bad_alignment_rejected_by_scores():
+    depths, _ = _make_pair(TRUE_POSE)
+    init = np.zeros((2, 6), np.float32)
+    init[1] = TRUE_POSE + np.array([0.3, 0.2, -0.25, 1.5, -1.0, 1.0], np.float32)
+    # do not let LM iterate: a garbage *converged* state isn't needed, we
+    # only check that scores expose misalignment when LM can't fix it
+    ret = falign(
+        depths * 0 + np.stack([depths[0], depths[0][::-1, ::-1]]),  # inconsistent maps
+        FX, FY, CX, CY, poses_init=init, vbf=FX * 5, crw=0.0, stride=2,
+    )
+    assert np.nanmean(ret["consistency_mat"]) < 0.85
+
+
+def test_falign_connectivity_subset():
+    depths, _ = _make_pair(TRUE_POSE)
+    init = np.zeros((2, 6), np.float32)
+    init[1] = TRUE_POSE
+    conn = np.asarray([0, 1, -1], np.int32)  # only 0->1
+    ret = falign(
+        depths, FX, FY, CX, CY, poses_init=init, vbf=FX * 5, crw=0.0,
+        connectivity=conn, stride=2,
+    )
+    assert np.isfinite(ret["visibility_mat"][0, 1])
+    assert np.isnan(ret["visibility_mat"][1, 0])

@@ -36,15 +36,11 @@ import jax as _jax
 # Hot kernels that can tolerate lower precision opt in explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: VO/falign graphs are large and the remote-TPU
-# platform compiles slowly; caching makes every process after the first warm.
-import os as _os
-
-_jax.config.update(
-    "jax_compilation_cache_dir",
-    _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-)
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable the persistent compilation cache here. Executables
+# deserialized from the cache run >1000x slower on the axon remote-TPU
+# platform (measured: 0.9ms fresh-compiled vs 1.1s cache-loaded for the
+# same depth round), and XLA:CPU AOT reloads warn about machine-feature
+# mismatches. Recompiling every process is the lesser evil.
 
 from voldor_tpu.config import VoldorConfig
 

@@ -1,0 +1,209 @@
+"""Levenberg-Marquardt solver for dense frame alignment.
+
+Replaces Ceres (frame-alignment/align_frame.cpp:94-195) with a jitted joint
+LM. The reference only parameterizes the *ref* frame of each residual block
+and reads the tar frame from the global iterate (align_frame_cost_fun.h:
+164-166 + update_state_every_iteration, align_frame.cpp:143) — a
+Gauss-Seidel scheme that we found stalls above the true optimum on coupled
+modes (e.g. the joint scene-scale direction in 7-dof mode). Here the
+Jacobian is taken w.r.t. BOTH frames of every pair (jax.jacfwd through the
+residual) and all frames solve jointly; the global SE(3)(+scale) gauge
+freedom is absorbed by LM damping around the initialization. This also
+removes the reference's biconnected-pair jacobian-doubling quirk
+(align_frame_cost_fun.h:178-180), which existed only to compensate the
+one-sided scheme.
+
+Where the reference serializes per-pair GPU evaluations behind a mutex,
+all pairs evaluate as one vmapped batch — the main architectural win for
+TPU.
+
+Covariances keep the reference's semantics: per-frame blocks of inv(JtJ)
+with only the (pose, pose) and (scale, scale) blocks reported
+(align_frame.cpp:166-195).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voldor_tpu.falign.residual import FrameMaps, pair_residual_map
+
+
+class FalignResult(NamedTuple):
+    params: jax.Array  # (N, 9)
+    covars: jax.Array  # (N, 9, 9); zeros where unreliable
+    covar_ok: jax.Array  # (N,) bool
+    cost: jax.Array
+    iters: jax.Array
+
+
+def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask):
+    """Residuals (P, hs, ws) and Jacobians w.r.t. ref and tar params
+    ((P, hs, ws, 9) each)."""
+    fx, fy, cx, cy = intr
+
+    def one(pr, pt, ref, tar):
+        def f(p_ref, p_tar):
+            r, v = pair_residual_map(
+                p_ref, p_tar, ref, tar, maps, fx, fy, cx, cy, vbf, crw,
+                use_photo, stride,
+            )
+            return r, v
+
+        res, valid = f(pr, pt)
+        Jr = jax.jacfwd(lambda p: f(p, pt)[0])(pr)
+        Jt = jax.jacfwd(lambda p: f(pr, p)[0])(pt)
+        return res, valid, Jr, Jt
+
+    res, valid, Jr, Jt = jax.vmap(one)(
+        params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+    )
+    Jr = jnp.where(valid[..., None], Jr, 0.0) * dim_mask
+    Jt = jnp.where(valid[..., None], Jt, 0.0) * dim_mask
+    return res, valid, Jr, Jt
+
+
+def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
+    """Full (N*9, N*9) JtJ and (N*9,) gradient from per-pair Jacobians."""
+    P = pairs.shape[0]
+    m = res.shape[1] * res.shape[2]
+    Jr = Jr.reshape(P, m, 9)
+    Jt = Jt.reshape(P, m, 9)
+    r = res.reshape(P, m)
+
+    oh_r = jax.nn.one_hot(pairs[:, 0], n_frames, dtype=res.dtype)  # (P, N)
+    oh_t = jax.nn.one_hot(pairs[:, 1], n_frames, dtype=res.dtype)
+
+    # Block accumulations via einsum over the pair axis.
+    Hrr = jnp.einsum("pa,pb,pki,pkj->aibj", oh_r, oh_r, Jr, Jr)
+    Hrt = jnp.einsum("pa,pb,pki,pkj->aibj", oh_r, oh_t, Jr, Jt)
+    Htt = jnp.einsum("pa,pb,pki,pkj->aibj", oh_t, oh_t, Jt, Jt)
+    H = Hrr + Hrt + jnp.swapaxes(jnp.swapaxes(Hrt, 0, 2), 1, 3) + Htt
+    g = jnp.einsum("pa,pki,pk->ai", oh_r, Jr, r) + jnp.einsum(
+        "pa,pki,pk->ai", oh_t, Jt, r
+    )
+    D = n_frames * 9
+    return H.reshape(D, D), g.reshape(D)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("use_photo", "stride", "max_iters", "n_frames"),
+)
+def lm_solve(
+    params0,
+    pairs,
+    biconnected,  # kept for API stability; unused by the joint scheme
+    maps: FrameMaps,
+    intr,
+    vbf,
+    crw,
+    dim_mask,
+    *,
+    use_photo: bool,
+    stride: int,
+    max_iters: int = 100,
+    n_frames: int = 0,
+) -> FalignResult:
+    """Jointly damped LM; one residual trial per iteration."""
+    del biconnected
+    N = n_frames or params0.shape[0]
+    D = N * 9
+    fx, fy, cx, cy = intr
+
+    def cost_of(params):
+        def one(pr, pt, ref, tar):
+            r, v = pair_residual_map(
+                pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo, stride
+            )
+            return jnp.sum(r * r)
+
+        return 0.5 * jnp.sum(
+            jax.vmap(one)(
+                params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+            )
+        )
+
+    inactive = jnp.tile(1.0 - dim_mask, N)
+
+    def body(state):
+        params, lam, cost, it, done = state
+        res, valid, Jr, Jt = _pair_res_and_jacs(
+            params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask
+        )
+        H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+        diag = jnp.maximum(jnp.diag(H), 1e-8)
+        damped = H + jnp.diag(lam * diag + inactive)
+
+        L = jnp.linalg.cholesky(damped)
+        ok = jnp.all(jnp.isfinite(L))
+        Lsafe = jnp.where(ok, L, jnp.eye(D))
+        step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
+        trial = params - step.reshape(N, 9) * dim_mask
+        new_cost = cost_of(trial)
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
+        params = jnp.where(accept, trial, params)
+        lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
+        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        done = (accept & (rel_drop < 1e-8)) | (lam > 1e9)
+        cost = jnp.where(accept, new_cost, cost)
+        return params, lam, cost, it + 1, done
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < max_iters) & (~done)
+
+    init_cost = cost_of(params0)
+    params, lam, cost, it, _ = jax.lax.while_loop(
+        cond, body, (params0, jnp.float32(1e-3), init_cost, jnp.int32(0), jnp.bool_(False))
+    )
+
+    # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
+    # exactly the information the reference's block-diagonal problem exposes
+    # to ceres::Covariance (align_frame.cpp:166-195).
+    res, valid, Jr, _ = _pair_res_and_jacs(
+        params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask
+    )
+    P = pairs.shape[0]
+    m = res.shape[1] * res.shape[2]
+    Jf = Jr.reshape(P, m, 9)
+    JtJ_p = jnp.einsum("pki,pkj->pij", Jf, Jf)
+    onehot = jax.nn.one_hot(pairs[:, 0], N, dtype=res.dtype)
+    JtJ = jnp.einsum("pn,pij->nij", onehot, JtJ_p)
+    JtJ_solve = JtJ + jax.vmap(jnp.diag)(jnp.broadcast_to(1.0 - dim_mask, (N, 9)))
+    L = jnp.linalg.cholesky(JtJ_solve)
+    ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
+    Lsafe = jnp.where(ok[:, None, None], L, jnp.broadcast_to(jnp.eye(9), L.shape))
+    covars = jax.vmap(lambda l: jax.scipy.linalg.cho_solve((l, True), jnp.eye(9)))(
+        Lsafe
+    )
+    covars = jnp.where(ok[:, None, None], covars, 0.0)
+    return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost, iters=it)
+
+
+def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo, bound):
+    """Per-pair (visibility, consistency) over the full-resolution unweighted
+    residual (align_frame_cost_fun.h:96-127)."""
+    fx, fy, cx, cy = intr
+
+    def one(pr, pt, ref, tar):
+        r, v = pair_residual_map(
+            pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
+            stride=1, apply_weights=False,
+        )
+        n_total = r.shape[0] * r.shape[1]
+        n_vis = jnp.sum(v)
+        bounded = jnp.minimum(r * r, bound)
+        consistency = jnp.sum(jnp.where(v, 1.0 - bounded / bound, 0.0)) / jnp.maximum(
+            n_vis, 1
+        )
+        visibility = n_vis / n_total
+        return visibility, consistency
+
+    return jax.vmap(one)(
+        params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+    )
