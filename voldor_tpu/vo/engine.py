@@ -26,24 +26,10 @@ import numpy as np
 from voldor_tpu.config import VoldorConfig
 from voldor_tpu.ops import epipolar, lie
 from voldor_tpu.vo import em
-from voldor_tpu.vo.pose_step import optimize_camera_pose
+from voldor_tpu.vo.pose_step import CameraWindowResult, _cameras_window_core, optimize_cameras_window
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_rand",
-        "gstep",
-        "lwidth",
-        "mode",
-        "fb",
-        "rig_only",
-        "use_flows",
-        "use_priors",
-        "tracked",
-    ),
-)
-def _depth_round(
+def _depth_round_core(
     depth,
     flows,
     rigidness,
@@ -71,7 +57,9 @@ def _depth_round(
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
     FB-smoothing of the weights, proposal rounds, then rigidness refresh."""
-    key = jax.random.PRNGKey(seed)
+    from voldor_tpu.vo.pose_step import _as_key
+
+    key = _as_key(seed)
     Rs = lie.so3_exp(poses6[:, :3])
     ts = poses6[:, 3:6]
     dp_Rs = lie.so3_exp(dp_poses6[:, :3])
@@ -129,6 +117,17 @@ def _depth_round(
     return depth, rigidness, dp_confs
 
 
+_DEPTH_STATIC = (
+    "n_rand", "gstep", "lwidth", "mode", "fb", "rig_only", "use_flows",
+    "use_priors", "tracked",
+)
+
+
+@partial(jax.jit, static_argnames=_DEPTH_STATIC)
+def _depth_round(*args, **kwargs):
+    return _depth_round_core(*args, **kwargs)
+
+
 def fb_smooth_masked(rigidness, active_n, fb_emm, fb_ncp):
     """FB-smooth only the active frames (inactive stay zero)."""
     smoothed = em.fb_smooth(rigidness, fb_emm, fb_ncp)
@@ -142,9 +141,146 @@ def _rigidness_densities(rigidness):
 
 
 @jax.jit
+def _depth_confidence_jit(rigidness, dp_confs, active_n):
+    active = (jnp.arange(rigidness.shape[0]) < active_n)[:, None, None]
+    total = jnp.sum(jnp.where(active, rigidness, 0.0), axis=0)
+    denom = active_n + dp_confs.shape[0]
+    if dp_confs.shape[0] > 0:
+        total = total + jnp.sum(dp_confs, axis=0)
+    return total / jnp.maximum(denom, 1)
+
+
+@jax.jit
 def _normalize_world_scale(poses6, depth, active_n):
     """Mono gauge fix: mean translation norm over the window -> 1
     (voldor.cpp:309-317)."""
+    active = jnp.arange(poses6.shape[0]) < active_n
+    norms = jnp.linalg.norm(poses6[:, 3:6], axis=-1) * active
+    total = jnp.sum(norms)
+    s = jnp.where(total > 0, active_n / jnp.maximum(total, 1e-30), 1.0)
+    poses6 = poses6.at[:, 3:6].multiply(jnp.where(active[:, None], s, 1.0))
+    return poses6, depth * s
+
+
+_SOLVE_FN_CACHE: dict = {}
+
+
+def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
+    """Build (and cache) the fully-fused EM solve for a config.
+
+    The whole solve loop (voldor.cpp:130-149) — camera sweeps with
+    truncation, depth rounds, mono gauge normalization — runs as ONE jitted
+    lax.while_loop. Rationale: on the remote-TPU platform every host sync
+    and small-buffer transfer costs tens of milliseconds and can degrade the
+    execution queue, so the host only touches the device twice per window
+    (dispatch + final readback).
+    """
+    key = (cfg.to_string(), has_disparity, use_priors)
+    if key in _SOLVE_FN_CACHE:
+        return _SOLVE_FN_CACHE[key]
+
+    params = em.EmParams.from_config(cfg, has_disparity)
+    pose_hp = dict(
+        rigidness_threshold=cfg.rigidness_threshold,
+        rigidness_sum_threshold=cfg.rigidness_sum_threshold,
+        sample_min_depth=cfg.pose_sample_min_depth,
+        sample_max_depth=cfg.pose_sample_max_depth,
+        max_trace_on_flow=cfg.max_trace_on_flow,
+        n_poses_to_sample=cfg.n_poses_to_sample,
+        meanshift_kernel_var=cfg.meanshift_kernel_var,
+        meanshift_rvec_scale=cfg.meanshift_rvec_scale,
+        meanshift_epsilon=cfg.meanshift_epsilon,
+        meanshift_max_iters=cfg.meanshift_max_iters,
+        meanshift_max_init_trials=cfg.meanshift_max_init_trials,
+        meanshift_good_init_confidence=cfg.meanshift_good_init_confidence,
+        rg_trunc_sigma=cfg.rg_trunc_sigma,
+        rg_covar_reg_lambda=cfg.rg_covar_reg_lambda,
+        rg_pose_scaling=cfg.rg_pose_scaling,
+        rg_epsilon=cfg.rg_epsilon,
+        rg_max_iters=cfg.rg_max_iters,
+    )
+    depth_kw = dict(
+        n_rand=cfg.depth_rand_samples,
+        gstep=cfg.depth_global_prop_step,
+        lwidth=cfg.depth_local_prop_width,
+        mode=cfg.depth_local_prop_mode,
+        fb=bool(cfg.fb_smooth),
+        rig_only=not cfg.optimize_depth,
+        use_flows=True,
+        use_priors=use_priors,
+        tracked=cfg.depth_cost_mode == "tracked",
+    )
+
+    @jax.jit
+    def solve_fn(
+        depth, flows, rigidness, priors, dp_pconfs, dp_confs, dp_poses6,
+        poses6, covars, densities, counts, n_flows0, seed,
+    ):
+        base = jax.random.PRNGKey(seed)
+
+        def cond(st):
+            return (st["iters_remain"] > 0) & (st["n_flows"] > 0)
+
+        def body(st):
+            iters_cur = st["iters_cur"] + 1
+            iters_remain = st["iters_remain"] - 1
+            allow_trunc = iters_cur > cfg.no_trunc_iters
+            rg_ref = bool(cfg.rg_refine) & (
+                (not cfg.rg_refine_last_only) | (iters_remain == 0)
+            )
+            cam = _cameras_window_core(
+                st["depth"], flows, st["rigidness"], st["poses6"], st["covars"],
+                st["densities"], st["counts"], st["n_flows"],
+                allow_trunc, rg_ref,
+                jax.random.fold_in(base, iters_cur),
+                params,
+                trunc_rigidness_density=cfg.trunc_rigidness_density,
+                trunc_sample_density=cfg.trunc_sample_density,
+                **pose_hp,
+            )
+            n_flows = cam.n_flows_new
+            iters_remain = jnp.where(
+                cam.truncated,
+                jnp.maximum(iters_remain, cfg.min_iters_after_trunc),
+                iters_remain,
+            )
+            depth_, rigidness_, dp_confs_ = _depth_round_core(
+                st["depth"], flows, st["rigidness"], cam.poses6,
+                priors, dp_pconfs, st["dp_confs"], dp_poses6,
+                n_flows, params,
+                jax.random.fold_in(base, 1000 + iters_cur),
+                jnp.float32(cfg.fb_emm), jnp.float32(cfg.fb_no_change_prob),
+                jnp.float32(cfg.depth_range_factor),
+                **depth_kw,
+            )
+            poses6_ = cam.poses6
+            if cfg.norm_world_scale and not use_priors:
+                poses6_, depth_ = _normalize_world_scale_pure(
+                    poses6_, depth_, n_flows
+                )
+            return dict(
+                depth=depth_, rigidness=rigidness_, dp_confs=dp_confs_,
+                poses6=poses6_, covars=cam.pose_covars,
+                densities=cam.pose_densities, counts=cam.pose_sample_counts,
+                n_flows=n_flows, iters_cur=iters_cur,
+                iters_remain=iters_remain,
+                rig_dens=cam.rigidness_densities,
+            )
+
+        st0 = dict(
+            depth=depth, rigidness=rigidness, dp_confs=dp_confs,
+            poses6=poses6, covars=covars, densities=densities, counts=counts,
+            n_flows=jnp.int32(n_flows0), iters_cur=jnp.int32(0),
+            iters_remain=jnp.int32(cfg.max_iters),
+            rig_dens=jnp.zeros(flows.shape[0], jnp.float32),
+        )
+        return jax.lax.while_loop(cond, body, st0)
+
+    _SOLVE_FN_CACHE[key] = solve_fn
+    return solve_fn
+
+
+def _normalize_world_scale_pure(poses6, depth, active_n):
     active = jnp.arange(poses6.shape[0]) < active_n
     norms = jnp.linalg.norm(poses6[:, 3:6], axis=-1) * active
     total = jnp.sum(norms)
@@ -163,9 +299,9 @@ class VoldorEngine:
     depth: jax.Array | None = None  # (h, w)
     poses6: jax.Array | None = None  # (N, 6) device [rvec, tvec]
     pose_covars: jax.Array | None = None  # (N, 6, 6) device
-    pose_densities: np.ndarray | None = None  # (N,) host (truncation policy)
-    pose_rigidness_densities: np.ndarray | None = None  # (N,) host
-    pose_sample_counts: np.ndarray | None = None  # (N,) host
+    pose_densities_dev: jax.Array | None = None  # (N,) device
+    pose_sample_counts_dev: jax.Array | None = None  # (N,) int32 device
+    pose_rigidness_densities: np.ndarray | None = None  # (N,) host diag
     priors: jax.Array | None = None  # (D, h, w)
     dp_pconfs: jax.Array | None = None
     dp_confs: jax.Array | None = None
@@ -258,9 +394,9 @@ class VoldorEngine:
         self.rigidness = jnp.ones((N, h, w), jnp.float32)
         self.poses6 = jnp.zeros((N, 6), jnp.float32)
         self.pose_covars = jnp.zeros((N, 6, 6), jnp.float32)
-        self.pose_densities = np.zeros(N, np.float32)
+        self.pose_densities_dev = jnp.zeros(N, jnp.float32)
+        self.pose_sample_counts_dev = jnp.zeros(N, jnp.int32)
         self.pose_rigidness_densities = np.zeros(N, np.float32)
-        self.pose_sample_counts = np.zeros(N, np.int32)
 
         if D > 0:
             self.priors = jnp.asarray(np.stack(prior_list))
@@ -300,7 +436,37 @@ class VoldorEngine:
 
     # ------------------------------------------------------------------
     def solve(self) -> int:
-        """The EM loop (voldor.cpp:130-149)."""
+        """The EM loop (voldor.cpp:130-149) as one fused device dispatch."""
+        cfg = self.cfg
+        if self.n_depth_priors == 0:
+            self.bootstrap()
+        fn = _get_solve_fn(cfg, self.has_disparity, self.n_depth_priors > 0)
+        st = fn(
+            self.depth, self.flows, self.rigidness,
+            self.priors, self.dp_pconfs, self.dp_confs, self.dp_poses6,
+            self.poses6, self.pose_covars,
+            self.pose_densities_dev, self.pose_sample_counts_dev,
+            np.int32(self.n_flows), self._next_seed(),
+        )
+        self.depth = st["depth"]
+        self.rigidness = st["rigidness"]
+        self.dp_confs = st["dp_confs"]
+        self.poses6 = st["poses6"]
+        self.pose_covars = st["covars"]
+        self.pose_densities_dev = st["densities"]
+        self.pose_sample_counts_dev = st["counts"]
+        n_flows, iters_cur, rig_dens = jax.device_get(
+            (st["n_flows"], st["iters_cur"], st["rig_dens"])
+        )
+        self.n_flows = int(n_flows)
+        self.iters_cur = int(iters_cur)
+        self.iters_remain = 0
+        self.pose_rigidness_densities[: self.n_flows_init] = rig_dens
+        return self.iters_cur
+
+    def solve_stepwise(self) -> int:
+        """Reference-structured host loop (one dispatch per phase). Kept for
+        debugging/parity checks; solve() is the fused fast path."""
         cfg = self.cfg
         if self.n_depth_priors == 0:
             self.bootstrap()
@@ -311,75 +477,66 @@ class VoldorEngine:
             self._run_depth_round(rigidness_only=not cfg.optimize_depth)
             if cfg.norm_world_scale and self.n_depth_priors == 0:
                 self.poses6, self.depth = _normalize_world_scale(
-                    self.poses6, self.depth, jnp.int32(self.n_flows)
+                    self.poses6, self.depth, np.int32(self.n_flows)
                 )
         return self.iters_cur
 
     # ------------------------------------------------------------------
     def optimize_cameras(self):
-        """Per-frame pose steps with the truncation policy
-        (voldor.cpp:164-201)."""
+        """Per-window camera sweep with the truncation policy
+        (voldor.cpp:164-201), fused into one device dispatch — the host
+        reads back only the truncation outcome."""
         cfg = self.cfg
         allow_trunc = self.iters_cur > cfg.no_trunc_iters
-        params = self._params()
-        rig_dens = np.asarray(_rigidness_densities(self.rigidness))
-
-        for i in range(self.n_flows):
-            self.pose_rigidness_densities[i] = rig_dens[i]
-
-            success = False
-            if (not allow_trunc) or rig_dens[i] > cfg.trunc_rigidness_density:
-                rg_refine = bool(cfg.rg_refine) and (
-                    not cfg.rg_refine_last_only or self.iters_remain == 0
-                )
-                res = optimize_camera_pose(
-                    self.depth,
-                    self.flows,
-                    self.rigidness,
-                    self.poses6,
-                    self.pose_covars,
-                    jnp.int32(i),
-                    jnp.bool_(self.pose_sample_counts[i] != 0),
-                    jnp.bool_(rg_refine),
-                    self._next_seed(),
-                    params,
-                    rigidness_threshold=cfg.rigidness_threshold,
-                    rigidness_sum_threshold=cfg.rigidness_sum_threshold,
-                    sample_min_depth=cfg.pose_sample_min_depth,
-                    sample_max_depth=cfg.pose_sample_max_depth,
-                    max_trace_on_flow=cfg.max_trace_on_flow,
-                    n_poses_to_sample=cfg.n_poses_to_sample,
-                    meanshift_kernel_var=cfg.meanshift_kernel_var,
-                    meanshift_rvec_scale=cfg.meanshift_rvec_scale,
-                    meanshift_epsilon=cfg.meanshift_epsilon,
-                    meanshift_max_iters=cfg.meanshift_max_iters,
-                    meanshift_max_init_trials=cfg.meanshift_max_init_trials,
-                    meanshift_good_init_confidence=cfg.meanshift_good_init_confidence,
-                    rg_trunc_sigma=cfg.rg_trunc_sigma,
-                    rg_covar_reg_lambda=cfg.rg_covar_reg_lambda,
-                    rg_pose_scaling=cfg.rg_pose_scaling,
-                    rg_epsilon=cfg.rg_epsilon,
-                    rg_max_iters=cfg.rg_max_iters,
-                )
-                self.poses6 = res.poses6
-                self.pose_covars = res.pose_covars
-                # one small host fetch per frame for the truncation policy
-                success_, density_, count_ = jax.device_get(
-                    (res.success, res.pose_density, res.pose_sample_count)
-                )
-                success = bool(success_)
-                if success:
-                    self.pose_densities[i] = density_
-                    self.pose_sample_counts[i] = count_
-
-            if (not success) or (
-                allow_trunc and self.pose_densities[i] < cfg.trunc_sample_density
-            ):
-                if not self.cfg.silent:
-                    print(f"truncated at camera {i}")
-                self.iters_remain = max(self.iters_remain, cfg.min_iters_after_trunc)
-                self.n_flows = i
-                break
+        rg_refine = bool(cfg.rg_refine) and (
+            not cfg.rg_refine_last_only or self.iters_remain == 0
+        )
+        res = optimize_cameras_window(
+            self.depth,
+            self.flows,
+            self.rigidness,
+            self.poses6,
+            self.pose_covars,
+            self.pose_densities_dev,
+            self.pose_sample_counts_dev,
+            np.int32(self.n_flows),
+            np.bool_(allow_trunc),
+            np.bool_(rg_refine),
+            self._next_seed(),
+            self._params(),
+            trunc_rigidness_density=np.float32(cfg.trunc_rigidness_density),
+            trunc_sample_density=np.float32(cfg.trunc_sample_density),
+            rigidness_threshold=np.float32(cfg.rigidness_threshold),
+            rigidness_sum_threshold=np.float32(cfg.rigidness_sum_threshold),
+            sample_min_depth=np.float32(cfg.pose_sample_min_depth),
+            sample_max_depth=np.float32(cfg.pose_sample_max_depth),
+            max_trace_on_flow=cfg.max_trace_on_flow,
+            n_poses_to_sample=cfg.n_poses_to_sample,
+            meanshift_kernel_var=np.float32(cfg.meanshift_kernel_var),
+            meanshift_rvec_scale=np.float32(cfg.meanshift_rvec_scale),
+            meanshift_epsilon=np.float32(cfg.meanshift_epsilon),
+            meanshift_max_iters=cfg.meanshift_max_iters,
+            meanshift_max_init_trials=cfg.meanshift_max_init_trials,
+            meanshift_good_init_confidence=np.float32(cfg.meanshift_good_init_confidence),
+            rg_trunc_sigma=np.float32(cfg.rg_trunc_sigma),
+            rg_covar_reg_lambda=np.float32(cfg.rg_covar_reg_lambda),
+            rg_pose_scaling=np.float32(cfg.rg_pose_scaling),
+            rg_epsilon=np.float32(cfg.rg_epsilon),
+            rg_max_iters=cfg.rg_max_iters,
+        )
+        self.poses6 = res.poses6
+        self.pose_covars = res.pose_covars
+        self.pose_densities_dev = res.pose_densities
+        self.pose_sample_counts_dev = res.pose_sample_counts
+        n_flows_new, truncated, rig_dens = jax.device_get(
+            (res.n_flows_new, res.truncated, res.rigidness_densities)
+        )
+        self.pose_rigidness_densities[: self.n_flows_init] = rig_dens
+        if bool(truncated):
+            if not cfg.silent:
+                print(f"truncated at camera {int(n_flows_new)}")
+            self.iters_remain = max(self.iters_remain, cfg.min_iters_after_trunc)
+            self.n_flows = int(n_flows_new)
 
     # ------------------------------------------------------------------
     def _run_depth_round(self, prior_only: bool = False, rigidness_only: bool = False):
@@ -397,12 +554,12 @@ class VoldorEngine:
             self.dp_pconfs,
             self.dp_confs,
             self.dp_poses6,
-            jnp.int32(self.n_flows if use_flows else 0),
+            np.int32(self.n_flows if use_flows else 0),
             self._params(),
             self._next_seed(),
-            jnp.float32(cfg.fb_emm),
-            jnp.float32(cfg.fb_no_change_prob),
-            jnp.float32(cfg.depth_range_factor),
+            np.float32(cfg.fb_emm),
+            np.float32(cfg.fb_no_change_prob),
+            np.float32(cfg.depth_range_factor),
             n_rand=cfg.depth_rand_samples,
             gstep=cfg.depth_global_prop_step,
             lwidth=cfg.depth_local_prop_width,
@@ -428,12 +585,10 @@ class VoldorEngine:
     def depth_confidence(self) -> np.ndarray:
         """Mean of active rigidness + prior-confidence maps
         (voldor/py_export.cpp:68-76)."""
-        total = jnp.zeros((self.h, self.w), jnp.float32)
-        denom = self.n_flows + self.n_depth_priors
-        if self.n_flows > 0:
-            total = total + jnp.sum(self.rigidness[: self.n_flows], axis=0)
-        if self.n_depth_priors > 0:
-            total = total + jnp.sum(self.dp_confs, axis=0)
-        if denom == 0:
+        if self.n_flows + self.n_depth_priors == 0:
             return np.zeros((self.h, self.w), np.float32)
-        return np.asarray(total / denom)
+        return np.asarray(
+            _depth_confidence_jit(
+                self.rigidness, self.dp_confs, np.int32(self.n_flows)
+            )
+        )

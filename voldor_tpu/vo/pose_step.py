@@ -141,17 +141,7 @@ def collect_p3p_instances(
     return p2, p3, ok & finite
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_poses_to_sample",
-        "meanshift_max_iters",
-        "meanshift_max_init_trials",
-        "rg_max_iters",
-        "max_trace_on_flow",
-    ),
-)
-def optimize_camera_pose(
+def _pose_step_core(
     depth,
     flows,
     rigidness,
@@ -160,7 +150,7 @@ def optimize_camera_pose(
     active_idx,
     successive_pose,
     rg_refine,
-    seed,
+    key,
     p: EmParams,
     *,
     rigidness_threshold=0.5,
@@ -192,7 +182,7 @@ def optimize_camera_pose(
     ts = poses6[:, 3:6]
     pose6_init = poses6[active_idx]
 
-    k_sample, k_ms = jax.random.split(jax.random.PRNGKey(seed))
+    k_sample, k_ms = jax.random.split(key)
     p2map, p3map, validmap = collect_p3p_instances(
         depth, flows, rigidness, Rs, ts, active_idx, p,
         rigidness_threshold=rigidness_threshold,
@@ -297,3 +287,153 @@ def optimize_camera_pose(
         rg_iters=rg.iters,
         success=success,
     )
+
+
+_POSE_HP_STATIC = (
+    "n_poses_to_sample",
+    "meanshift_max_iters",
+    "meanshift_max_init_trials",
+    "rg_max_iters",
+    "max_trace_on_flow",
+)
+
+
+@partial(jax.jit, static_argnames=_POSE_HP_STATIC)
+def optimize_camera_pose(
+    depth,
+    flows,
+    rigidness,
+    poses6,
+    pose_covars,
+    active_idx,
+    successive_pose,
+    rg_refine,
+    seed,
+    p: EmParams,
+    **hp,
+) -> PoseStepResult:
+    """Single-frame jitted wrapper over _pose_step_core (kept for tests and
+    fine-grained callers; the engine uses optimize_cameras_window)."""
+    return _pose_step_core(
+        depth, flows, rigidness, poses6, pose_covars, active_idx,
+        successive_pose, rg_refine, jax.random.PRNGKey(seed), p, **hp
+    )
+
+
+def _as_key(seed):
+    """Accept a uint32 scalar seed, a typed PRNG key, or raw key data."""
+    if hasattr(seed, "dtype"):
+        if jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
+            return seed
+        if getattr(seed, "ndim", 0) == 1:  # raw uint32[2] key data
+            return seed
+    return jax.random.PRNGKey(seed)
+
+
+class CameraWindowResult(NamedTuple):
+    poses6: jax.Array  # (N, 6)
+    pose_covars: jax.Array  # (N, 6, 6)
+    pose_densities: jax.Array  # (N,) updated where a step ran
+    pose_sample_counts: jax.Array  # (N,) int32
+    rigidness_densities: jax.Array  # (N,)
+    n_flows_new: jax.Array  # int32: window size after truncation
+    truncated: jax.Array  # bool
+
+
+def _cameras_window_core(
+    depth,
+    flows,
+    rigidness,
+    poses6,
+    pose_covars,
+    pose_densities,
+    pose_sample_counts,
+    n_flows,
+    allow_trunc,
+    rg_refine,
+    seed,
+    p: EmParams,
+    trunc_rigidness_density=0.05,
+    trunc_sample_density=0.001,
+    **hp,
+) -> CameraWindowResult:
+    """The full per-window camera sweep with the truncation policy
+    (voldor.cpp:164-201) fused into ONE dispatch.
+
+    The reference (and our first implementation) runs one host-synchronized
+    call per frame; on the remote-TPU platform every host sync costs ~45ms,
+    so the sequential frame loop, the rigidness-density gate, and the
+    truncation decisions all live in a lax.fori_loop here. The host reads
+    back one small result per EM iteration instead of 3 scalars per frame.
+    """
+    N = flows.shape[0]
+    base_key = _as_key(seed)
+    # (h*w)-flattened mean keeps the transfer of this array off the
+    # pathologically slow multi-axis-reduce output path.
+    rig_dens = jnp.mean(rigidness.reshape(N, -1), axis=1)
+
+    def body(i, carry):
+        poses6, covars, densities, counts, n_flows_cur, truncated = carry
+        in_window = (i < n_flows_cur) & (~truncated)
+        attempt = in_window & (
+            (~allow_trunc) | (rig_dens[i] > trunc_rigidness_density)
+        )
+
+        def run_step(args):
+            poses6, covars = args
+            res = _pose_step_core(
+                depth, flows, rigidness, poses6, covars, i,
+                counts[i] != 0, rg_refine, jax.random.fold_in(base_key, i),
+                p, **hp,
+            )
+            return res.poses6, res.pose_covars, res.pose_density, \
+                res.pose_sample_count, res.success
+
+        def skip_step(args):
+            poses6, covars = args
+            return poses6, covars, densities[i], counts[i], jnp.bool_(False)
+
+        poses6_n, covars_n, dens_i, count_i, success = jax.lax.cond(
+            attempt, run_step, skip_step, (poses6, covars)
+        )
+        poses6 = jnp.where(in_window, poses6_n, poses6)
+        covars = jnp.where(in_window, covars_n, covars)
+        densities = jnp.where(
+            in_window & success, densities.at[i].set(dens_i), densities
+        )
+        counts = jnp.where(in_window & success, counts.at[i].set(count_i), counts)
+
+        # truncation check (voldor.cpp:187-194): on failure OR (when
+        # truncation is allowed) on low pose density of the stored value.
+        trunc_now = in_window & (
+            (~success) | (allow_trunc & (densities[i] < trunc_sample_density))
+        )
+        n_flows_cur = jnp.where(trunc_now, i, n_flows_cur)
+        truncated = truncated | trunc_now
+        return poses6, covars, densities, counts, n_flows_cur, truncated
+
+    init = (
+        poses6,
+        pose_covars,
+        pose_densities,
+        pose_sample_counts,
+        jnp.int32(n_flows),
+        jnp.bool_(False),
+    )
+    poses6, covars, densities, counts, n_flows_new, truncated = jax.lax.fori_loop(
+        0, N, body, init
+    )
+    return CameraWindowResult(
+        poses6=poses6,
+        pose_covars=covars,
+        pose_densities=densities,
+        pose_sample_counts=counts,
+        rigidness_densities=rig_dens,
+        n_flows_new=n_flows_new,
+        truncated=truncated,
+    )
+
+
+@partial(jax.jit, static_argnames=_POSE_HP_STATIC)
+def optimize_cameras_window(*args, **kwargs) -> CameraWindowResult:
+    return _cameras_window_core(*args, **kwargs)
