@@ -1,0 +1,87 @@
+"""VOLDOR-SLAM demo CLI — same flags and thread wiring as the reference
+(demo/demo.py:3-85), driving the TPU-native engines."""
+
+import argparse
+
+parser = argparse.ArgumentParser(description="VOLDOR-SLAM (TPU) demo script")
+parser.add_argument("--mode", type=str, required=True,
+                    help="One of stereo/mono-scaled/mono. stereo and mono-scaled need disparity input.")
+parser.add_argument("--flow_dir", type=str, required=True)
+parser.add_argument("--disp_dir", type=str)
+parser.add_argument("--img_dir", type=str)
+parser.add_argument("--fx", type=float, required=True)
+parser.add_argument("--fy", type=float, required=True)
+parser.add_argument("--cx", type=float, required=True)
+parser.add_argument("--cy", type=float, required=True)
+parser.add_argument("--bf", type=float, default=0,
+                    help="Baseline x focal (world scale). 0 = auto virtual baseline.")
+parser.add_argument("--resize", type=float, default=0.5)
+parser.add_argument("--abs_resize", type=float,
+                    help="Resize factor relative to the flow network's native size.")
+parser.add_argument("--enable_loop_closure", type=str, default=None, nargs="?", const="builtin")
+parser.add_argument("--enable_mapping", action="store_true")
+parser.add_argument("--save_poses", type=str)
+parser.add_argument("--save_depths", type=str)
+parser.add_argument("--save_ply", type=str)
+
+opt = parser.parse_args()
+if opt.abs_resize is None:
+    opt.abs_resize = opt.resize
+
+import threading
+
+from voldor_tpu.slam.system import VOLDOR_SLAM
+from voldor_tpu.slam.viewer import VOLDOR_Viewer
+
+if __name__ == "__main__":
+    print(opt)
+
+    slam = VOLDOR_SLAM(mode=opt.mode)
+    slam.set_cam_params(opt.fx, opt.fy, opt.cx, opt.cy, opt.bf, rescale=opt.resize)
+    slam.voldor_user_config = f"--abs_resize_factor {opt.abs_resize}"
+
+    if opt.enable_loop_closure is not None:
+        slam.enable_loop_closure(opt.enable_loop_closure)
+
+    threading.Thread(
+        target=slam.flow_loader,
+        kwargs={"flow_path": opt.flow_dir, "resize": opt.resize},
+        daemon=True,
+    ).start()
+    slam.flow_loader_sync(0, block_when_uninit=True)
+
+    if opt.img_dir is not None:
+        threading.Thread(
+            target=slam.image_loader, kwargs={"image_path": opt.img_dir}, daemon=True
+        ).start()
+        slam.image_loader_sync(0, block_when_uninit=True)
+        slam.use_image_info = True
+    else:
+        slam.use_image_info = False
+
+    if opt.disp_dir is not None:
+        threading.Thread(
+            target=slam.disp_loader, kwargs={"disp_path": opt.disp_dir}, daemon=True
+        ).start()
+        slam.disp_loader_sync(0, block_when_uninit=True)
+
+    viewer = VOLDOR_Viewer(slam)
+    viewer_thread = threading.Thread(target=viewer.start, daemon=True)
+    viewer_thread.start()
+
+    vo_thread = threading.Thread(target=slam.vo_thread)
+    vo_thread.start()
+    if opt.enable_mapping:
+        mapping_thread = threading.Thread(target=slam.mapping_thread)
+        mapping_thread.start()
+
+    vo_thread.join()
+    if opt.enable_mapping:
+        mapping_thread.join()
+
+    if opt.save_poses is not None:
+        slam.save_poses(opt.save_poses, format="KITTI")
+    if opt.save_depths is not None:
+        slam.save_depth_maps(opt.save_depths)
+    if opt.save_ply is not None:
+        viewer.save_ply(opt.save_ply)

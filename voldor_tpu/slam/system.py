@@ -561,7 +561,7 @@ class VOLDOR_SLAM:
             ):
                 return
             if np.any(
-                np.linalg.matrix_rank(falign_ret["poses_covar"])
+                np.linalg.matrix_rank(falign_ret["poses_covar"].astype(np.float64))
                 != falign_ret["poses_covar"].shape[1]
             ):
                 return
@@ -639,7 +639,7 @@ class VOLDOR_SLAM:
                 )
                 return
             if np.any(
-                np.linalg.matrix_rank(falign_ret["poses_covar"])
+                np.linalg.matrix_rank(falign_ret["poses_covar"].astype(np.float64))
                 != falign_ret["poses_covar"].shape[1]
             ):
                 return
