@@ -189,24 +189,30 @@ class VOLDOR_SLAM:
         return self._loader_sync("disp_loader_pt", fid_query, no_block, block_when_uninit)
 
     def flow_loader(self, flow_path, resize=1.0, n_cache=100, range=(0, 0)):
-        self.flow_loader_pt = 0
-        flow_fn_list = sorted(os.listdir(flow_path))
-        if range != (0, 0):
-            flow_fn_list = flow_fn_list[range[0] : range[1]]
-        print(f"{len(flow_fn_list)} flows loaded")
-        flow_example = load_flow(os.path.join(flow_path, flow_fn_list[0]))
-        self.N_FRAMES = len(flow_fn_list) + 1
-        self.h = int(flow_example.shape[0] * resize)
-        self.w = int(flow_example.shape[1] * resize)
+        """Feeds self.flows with bounded read-ahead. IO runs on the native
+        C++ prefetcher (voldor_tpu/native/flow_loader.cpp) when available,
+        falling back to the Python .flo reader."""
+        from voldor_tpu.native.io import NativeFlowDir
 
-        for fn in flow_fn_list:
+        src = NativeFlowDir(flow_path, range=range)
+        self.flow_loader_pt = 0
+        print(f"{len(src)} flows loaded" + (" (native IO)" if src.native else ""))
+        self.N_FRAMES = len(src) + 1
+        self.h = int(src.h * resize)
+        self.w = int(src.w * resize)
+
+        # NB: the `range` parameter shadows the builtin (upstream API name)
+        i = 0
+        while i < len(src):
             while len(self.flows) - self.fid_cur > n_cache:
                 time.sleep(0.01)
-            flow = load_flow(os.path.join(flow_path, fn))
+            flow = src.get(i)
+            i += 1
             if flow.shape[0] != self.h or flow.shape[1] != self.w:
                 flow = self._resize_flow(flow, self.w, self.h)
             self.flows.append(flow)
             self.flow_loader_pt += 1
+        src.close()
 
     @staticmethod
     def _resize_flow(flow, w, h):
