@@ -60,7 +60,10 @@ def read_g2o(path: str):
                 cov7[:3, 3:6] = cov6[3:6, :3] / kq
                 cov7[3:6, :3] = cov6[:3, 3:6] / kq
                 cov7[6, 6] = 1.0  # scale unconstrained in SE(3) files
-                e_idx.append([i, j])
+                # g2o's Z_ij = X_i^-1 X_j maps j-frame points into i's frame;
+                # our wire format wants T_{end<-begin}, so store the edge as
+                # (begin=j, end=i) and the measurement fits unchanged.
+                e_idx.append([j, i])
                 e_pose.append([*rvec, x, y, z, 0.0])
                 e_cov.append(cov7)
     order = np.argsort(ids)
