@@ -4,12 +4,12 @@ VOLDOR fuses its 8192 P3P pose hypotheses by seeking the densest mode of the
 pose pool with a flat-iteration meanshift (gpu-kernels/meanshift.cu:34-150).
 The reference loops kernel launches from the host with per-iteration
 host<->device mean transfers; here the whole search — init trials included —
-is one jitted `lax.while_loop`, and the weighted reductions are (P,D)
-matmuls that run on the MXU.
+is one jitted `lax.while_loop`.
 
-Invalid pool entries (failed P3P solves) are handled with a validity mask
-instead of the reference's host-side NaN compaction (geometry.cpp:156-165),
-keeping shapes static.
+TPU layout note: the pool is processed as (D, P) — samples along the minor
+axis — so the per-iteration weight/reduction math fills all 128 VPU lanes.
+The natural (P, D=6) layout left 6/128 lanes active and made each meanshift
+iteration ~30x slower (measured via the profiler).
 """
 
 from __future__ import annotations
@@ -28,8 +28,9 @@ class MeanshiftResult(NamedTuple):
     n_valid: jax.Array  # int32
 
 
-def _weights(space, valid, mean, kernel_var):
-    d2 = jnp.sum((space - mean[None, :]) ** 2, axis=-1)
+def _weights_t(space_t, valid, mean, kernel_var):
+    """space_t: (D, P); mean: (D,). Returns (P,) kernel weights."""
+    d2 = jnp.sum((space_t - mean[:, None]) ** 2, axis=0)
     return jnp.exp(-d2 / (2.0 * kernel_var)) * valid
 
 
@@ -56,7 +57,7 @@ def meanshift(
     P, D = space.shape
     valid = valid.astype(space.dtype)
     n_valid = jnp.maximum(jnp.sum(valid), 1.0)
-    space = jnp.where(valid[:, None] > 0, space, 0.0)  # scrub NaNs from invalid rows
+    space_t = jnp.where(valid[None, :] > 0, space.T, 0.0)  # (D, P), NaNs scrubbed
 
     # --- init: best-of-k random trial by summed kernel weight
     # (meanshift.cu:71-97), early-stopped once confidence is good enough.
@@ -67,10 +68,9 @@ def meanshift(
     def trial_body(st):
         t, best_conf, best_mean, k = st
         k, sub = jax.random.split(k)
-        # Draw an index uniformly over valid entries via weighted choice.
         idx = jax.random.choice(sub, P, p=valid / jnp.sum(valid))
-        cand = space[idx]
-        conf = jnp.sum(_weights(space, valid, cand, kernel_var))
+        cand = space_t[:, idx]
+        conf = jnp.sum(_weights_t(space_t, valid, cand, kernel_var))
         better = conf > best_conf
         return (
             t + 1,
@@ -80,27 +80,28 @@ def meanshift(
         )
 
     _, _, trial_mean, _ = jax.lax.while_loop(
-        trial_cond, trial_body, (jnp.int32(0), jnp.float32(-1.0), space[0], key)
+        trial_cond, trial_body, (jnp.int32(0), jnp.float32(-1.0), space_t[:, 0], key)
     )
 
     mean0 = jnp.where(use_external_init_mean, init_mean, trial_mean)
 
     # --- iterate weighted means until displacement < epsilon
-    # (meanshift.cu:103-134). Matches the reference loop structure: the
-    # confidence reported is the one from the last executed iteration.
+    # (meanshift.cu:103-134).
     def iter_cond(st):
         it, _, _, disp = st
         return (it < max_iters) & (disp >= epsilon)
 
     def iter_body(st):
         it, mean, _, _ = st
-        w = _weights(space, valid, mean, kernel_var)
+        w = _weights_t(space_t, valid, mean, kernel_var)
         wsum = jnp.maximum(jnp.sum(w), 1e-30)
-        new_mean = (w @ space) / wsum
+        new_mean = (space_t @ w) / wsum
         disp = jnp.linalg.norm(mean - new_mean)
         return it + 1, new_mean, wsum / n_valid, disp
 
     iters, mean, conf, _ = jax.lax.while_loop(
         iter_cond, iter_body, (jnp.int32(0), mean0, jnp.float32(0.0), jnp.float32(jnp.inf))
     )
-    return MeanshiftResult(mean=mean, confidence=conf, iters=iters, n_valid=jnp.sum(valid).astype(jnp.int32))
+    return MeanshiftResult(
+        mean=mean, confidence=conf, iters=iters, n_valid=jnp.sum(valid).astype(jnp.int32)
+    )

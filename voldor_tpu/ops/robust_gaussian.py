@@ -44,14 +44,58 @@ def _lw_shrink(covar: jax.Array, lam) -> jax.Array:
     return lam * m * jnp.eye(d, dtype=covar.dtype) + (1.0 - lam) * covar
 
 
+def _adj3(M):
+    """Adjugate (transposed cofactor matrix) of a 3x3."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+        ],
+        -2,
+    )
+
+
+def _det3(M):
+    return (
+        M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+        - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+        + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0])
+    )
+
+
+def _inv3(M):
+    det = _det3(M)
+    safe = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return _adj3(M) / safe[..., None, None], det
+
+
 def _chol_inverse(covar: jax.Array):
-    """(inverse, ok) of an SPD matrix via Cholesky; ok=False on failure."""
-    L = jnp.linalg.cholesky(covar)
-    ok = jnp.all(jnp.isfinite(L))
-    Lsafe = jnp.where(ok, L, jnp.eye(covar.shape[-1], dtype=covar.dtype))
-    eye = jnp.eye(covar.shape[-1], dtype=covar.dtype)
-    inv = jax.scipy.linalg.cho_solve((Lsafe, True), eye)
-    return inv, ok
+    """(inverse, ok) of a 6x6 SPD matrix, closed form.
+
+    Blockwise Schur inversion built from 3x3 adjugates: tiny LAPACK-style
+    factorizations (cholesky / triangular solves) cost ~1ms each on TPU and
+    dominated the whole pose step; this is pure unrolled elementwise math.
+    The reliability gate matches the reference's det > 0 check
+    (fit_robust_gaussian.cu:196-199): det6 = det(A) * det(D - C A^-1 B).
+    """
+    A = covar[..., :3, :3]
+    B = covar[..., :3, 3:]
+    C = covar[..., 3:, :3]
+    D = covar[..., 3:, 3:]
+    Ainv, detA = _inv3(A)
+    S = D - C @ Ainv @ B  # Schur complement
+    Sinv, detS = _inv3(S)
+    AB = Ainv @ B
+    CA = C @ Ainv
+    top = jnp.concatenate([Ainv + AB @ Sinv @ CA, -AB @ Sinv], axis=-1)
+    bot = jnp.concatenate([-Sinv @ CA, Sinv], axis=-1)
+    inv = jnp.concatenate([top, bot], axis=-2)
+    ok = (detA > 0) & (detS > 0) & jnp.all(jnp.isfinite(inv))
+    return jnp.where(ok, inv, jnp.eye(6, dtype=covar.dtype)), ok
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -79,7 +123,9 @@ def fit_robust_gaussian(
     P, D = space.shape
     valid = valid.astype(space.dtype)
     n_valid = jnp.maximum(jnp.sum(valid), 1.0)
-    space = jnp.where(valid[:, None] > 0, space, 0.0)
+    # (D, P) layout: samples along the minor axis keep the VPU lanes full
+    # (see the layout note in meanshift.py).
+    space_t = jnp.where(valid[None, :] > 0, space.T, 0.0)
     lam = jnp.asarray(covar_reg_lambda, space.dtype)
 
     def body(st):
@@ -88,8 +134,8 @@ def fit_robust_gaussian(
         covar_r = jnp.where((it > 0) & (lam > 0), _lw_shrink(covar, lam), covar)
         inv, ok = _chol_inverse(covar_r)
 
-        diff = space - mean[None, :]
-        z2 = jnp.sum((diff @ inv) * diff, axis=-1)
+        diff_t = space_t - mean[:, None]  # (D, P)
+        z2 = jnp.sum((inv @ diff_t) * diff_t, axis=0)  # (P,)
         w = ((z2 < trunc_sigma * trunc_sigma) & (valid > 0)).astype(space.dtype)
         wsum = jnp.sum(w)
         fail = (~ok) | (~jnp.isfinite(wsum))
@@ -97,9 +143,9 @@ def fit_robust_gaussian(
 
         # M-step (committed only when the loop keeps going).
         wsum_safe = jnp.maximum(wsum, 1.0)
-        new_mean = (w @ space) / wsum_safe
-        diff_new = space - new_mean[None, :]
-        new_covar = ((diff_new * w[:, None]).T @ diff_new) / wsum_safe
+        new_mean = (space_t @ w) / wsum_safe
+        diff_new = space_t - new_mean[:, None]
+        new_covar = ((diff_new * w[None, :]) @ diff_new.T) / wsum_safe
 
         good = ~fail
         return (

@@ -384,7 +384,8 @@ class VOLDOR_SLAM:
     # ------------------------------------------------------------------
     def process_vo(self):
         """(voldor_slam.py:416-536)"""
-        from voldor_tpu.vo.api import voldor as py_voldor
+        import voldor_tpu.vo.api as _voapi
+        py_voldor = _voapi.voldor
 
         with self._map_lock.r_locked():
             if self.fid_cur >= (self.N_FRAMES - 1):
@@ -424,6 +425,7 @@ class VOLDOR_SLAM:
                 depth_prior_pconfs=np.stack(depth_prior_pconfs) if depth_prior_pconfs else None,
                 depth_prior_poses=np.stack(depth_prior_poses) if depth_prior_poses else None,
                 config=self.voldor_config + " " + self.voldor_user_config,
+                pad_window_to=self.voldor_winsize,
             )
 
             if vo_ret["n_registered"] == 0:

@@ -25,12 +25,15 @@ def voldor(
     depth_prior_poses: np.ndarray | None = None,
     depth_prior_pconfs: np.ndarray | None = None,
     config: str = "",
+    pad_window_to: int | None = None,
 ) -> dict:
     """Run one VO window.
 
     flows: (N, h, w, 2) float32; disparity: (h, w); depth_priors:
     (D, h, w) with (D, 6) poses; config: '--flag value' string in the
-    reference dialect.
+    reference dialect. pad_window_to: zero-pad short (tail) windows to a
+    fixed frame count so they reuse the compiled executable (the padding
+    frames are masked out by the engine's active count).
 
     Returns {'n_registered', 'poses' (n, 6), 'poses_covar' (n, 6, 6),
     'depth' (h, w), 'depth_conf' (h, w)}.
@@ -38,6 +41,11 @@ def voldor(
     cfg = VoldorConfig(fx=float(fx), fy=float(fy), cx=float(cx), cy=float(cy),
                        basefocal=float(basefocal))
     cfg.read_config(config)
+
+    n_true = flows.shape[0]
+    if pad_window_to is not None and n_true < pad_window_to:
+        pad = np.zeros((pad_window_to - n_true,) + flows.shape[1:], np.float32)
+        flows = np.concatenate([np.asarray(flows, np.float32), pad])
 
     engine = VoldorEngine(cfg)
     engine.init(
@@ -48,9 +56,12 @@ def voldor(
         depth_prior_poses=depth_prior_poses,
         depth_prior_pconfs=depth_prior_pconfs,
     )
+    if pad_window_to is not None:
+        engine.n_flows = min(engine.n_flows, n_true)
+        engine.n_flows_init = n_true
     engine.solve()
 
-    n = engine.n_flows
+    n = min(engine.n_flows, n_true)
     return {
         "n_registered": n,
         "poses": np.asarray(engine.poses[:n], np.float32),

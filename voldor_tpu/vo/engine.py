@@ -461,7 +461,7 @@ class VoldorEngine:
         self.n_flows = int(n_flows)
         self.iters_cur = int(iters_cur)
         self.iters_remain = 0
-        self.pose_rigidness_densities[: self.n_flows_init] = rig_dens
+        self.pose_rigidness_densities[: rig_dens.shape[0]] = rig_dens
         return self.iters_cur
 
     def solve_stepwise(self) -> int:
@@ -531,7 +531,7 @@ class VoldorEngine:
         n_flows_new, truncated, rig_dens = jax.device_get(
             (res.n_flows_new, res.truncated, res.rigidness_densities)
         )
-        self.pose_rigidness_densities[: self.n_flows_init] = rig_dens
+        self.pose_rigidness_densities[: rig_dens.shape[0]] = rig_dens
         if bool(truncated):
             if not cfg.silent:
                 print(f"truncated at camera {int(n_flows_new)}")
