@@ -119,7 +119,12 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
         px2 = (p.fx * nx + p.cx * safe_nz) / safe_nz
         py2 = (p.fy * ny + p.cy * safe_nz) / safe_nz
         inb = (nz > 0) & (px1 >= 0) & (px1 < w) & (py1 >= 0) & (py1 < h) & active
-        obs = bilinear_sample(flow, px1, py1)  # (h, w, 2)
+        # skip the gather entirely for inactive (truncated/padded) frames
+        obs = jax.lax.cond(
+            active,
+            lambda: bilinear_sample(flow, px1, py1),
+            lambda: jnp.zeros(px1.shape + (2,), flow.dtype),
+        )
         out = (px2 - px1, py2 - py1, obs[..., 0], obs[..., 1], inb)
         # Carry: traced position advances only when in-bounds
         # (optimize_depth.cu:107 updates px1 only in the valid branch).
@@ -183,7 +188,11 @@ def precompute_obs_tracks(flows, active_n, p: EmParams):
         px, py = carry
         flow, active = frame
         inb = (px >= 0) & (px < w) & (py >= 0) & (py < h) & active
-        obs = bilinear_sample(flow, px, py)
+        obs = jax.lax.cond(
+            active,
+            lambda: bilinear_sample(flow, px, py),
+            lambda: jnp.zeros(px.shape + (2,), flow.dtype),
+        )
         out = (px, py, obs[..., 0], obs[..., 1], inb)
         pxn = jnp.where(inb, px + obs[..., 0], px)
         pyn = jnp.where(inb, py + obs[..., 1], py)

@@ -110,8 +110,16 @@ def collect_p3p_instances(
         py = jnp.where(first, prj_y, py)
 
         inb = (px > 0) & (px < w) & (py > 0) & (py < h)
-        flow = flows[jnp.clip(i, 0, N - 1)]
-        d2 = bilinear_sample(flow, px, py)
+        # The flow gather is the expensive part of this scan; no pixel can
+        # trace outside [lo, active_idx], so skip it at runtime there (the
+        # masked-out gathers were still executing and dominated the camera
+        # sweep's cost).
+        gather_possible = (i >= lo) & (i <= active_idx)
+        d2 = jax.lax.cond(
+            gather_possible,
+            lambda: bilinear_sample(flows[jnp.clip(i, 0, N - 1)], px, py),
+            lambda: jnp.zeros((h, w, 2), flows.dtype),
+        )
         do_trace = tracing & (i <= active_idx)
         out_of_bounds = out_of_bounds | (do_trace & ~inb)
         px = jnp.where(do_trace & inb, px + d2[..., 0], px)
