@@ -592,3 +592,42 @@ class VoldorEngine:
                 self.rigidness, self.dp_confs, np.int32(self.n_flows)
             )
         )
+
+
+def save_result(engine: "VoldorEngine", save_dir: str) -> None:
+    """Artifact dump matching VOLDOR::save_result (voldor.cpp:333-376):
+    depth map, per-camera pose lines, normalized rigidness sum; with
+    cfg.save_everything also per-frame rigidness maps and flow viz."""
+    import os
+
+    os.makedirs(save_dir, exist_ok=True)
+    depth = np.asarray(engine.depth)
+    np.save(os.path.join(save_dir, "depth.npy"), depth)
+    try:
+        import cv2
+
+        cv2.imwrite(os.path.join(save_dir, "depth.png"), depth)
+    except ImportError:
+        pass
+
+    with open(os.path.join(save_dir, "camera_pose.txt"), "w") as f:
+        poses = engine.poses
+        for i in range(engine.n_flows):
+            f.write(" ".join(f"{v:f}" for v in poses[i]) + "\n")
+
+    rig = np.asarray(engine.rigidness)
+    n = max(engine.n_flows, 1)
+    rig_sum = rig[: engine.n_flows].sum(axis=0) / n
+    np.save(os.path.join(save_dir, "rigidness_sum.npy"), rig_sum)
+
+    if engine.cfg.save_everything:
+        from voldor_tpu.utils.flow_io import vis_flow
+
+        flows = np.asarray(engine.flows)
+        for i in range(engine.n_flows_init):
+            np.save(os.path.join(save_dir, f"rigidness-{i}.npy"), rig[i])
+            np.save(
+                os.path.join(save_dir, f"flow-viz-{i}.npy"), vis_flow(flows[i])
+            )
+    if not engine.cfg.silent:
+        print(f"results saved to {save_dir}")
