@@ -245,3 +245,37 @@ def test_engine_mono_end_to_end():
     assert np.median(rel) < 0.08
     conf = engine.depth_confidence()
     assert np.mean(conf[inner] > 0.5) > 0.9
+
+
+def test_optimize_depth_batched_recovers():
+    """The batched-proposal path (Pallas fast path's driver) must converge
+    like the sequential one."""
+    poses, flows, depth0, _ = _window()
+    Rs, ts = _pose_mats(poses)
+    p = _params()
+    rig = em.update_rigidness(jnp.asarray(depth0), jnp.asarray(flows), Rs, ts, jnp.int32(3), p)
+    track, tinb = em.precompute_obs_tracks(jnp.asarray(flows), jnp.int32(3), p)
+
+    def batch_cost_fn(cands):
+        return jax.vmap(
+            lambda c: em.compute_cost_map_tracked(
+                c, track, tinb, rig, Rs, ts, None, jnp.int32(3), p
+            )
+        )(cands)
+
+    depth = jnp.full((H, W), 2.5, jnp.float32)
+    cost = batch_cost_fn(depth[None])[0]
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        depth, cost = em.optimize_depth_batched(
+            depth, cost, batch_cost_fn, jax.random.fold_in(key, it),
+            n_rand_samples=6, global_prop_step=8, local_prop_width=16,
+            range_factor=1.0,
+        )
+    inner = np.s_[8:-8, 8:-8]
+    rel = np.abs(np.asarray(depth)[inner] - depth0[inner]) / depth0[inner]
+    assert np.median(rel) < 0.05
+    # cost/depth consistency
+    c_check = batch_cost_fn(depth[None])[0]
+    ok = np.isfinite(np.asarray(cost))
+    np.testing.assert_allclose(np.asarray(c_check)[ok], np.asarray(cost)[ok], rtol=1e-4, atol=1e-5)

@@ -103,6 +103,10 @@ class VoldorConfig:
     # 'tracked'   : gather-free observed-track PatchMatch cost (fast path)
     # 'projected' : reference-exact candidate-dependent tracing
     depth_cost_mode: str = "tracked"
+    # Fused Pallas kernel for batched candidate-cost evaluation:
+    # 'auto' = on TPU backends, 'on', 'off'. (~190x over the XLA-fused
+    # equivalent on v5e; requires depth_cost_mode == 'tracked'.)
+    use_pallas_cost: str = "auto"
     # PRNG seed for pose sampling / depth proposals (reference RAND_SEED 233,
     # optimize_depth.cu:8 / collect_p3p_instances.cu:6).
     seed: int = 233

@@ -253,27 +253,42 @@ def compute_cost_map_tracked(
         )
 
     if prior_samples is not None:
-        target, weight, dp_Rs, dp_ts = prior_samples
-
-        def pstep(carry, frame):
-            cost, wsum = carry
-            R, t, tgt, wgt = frame
-            nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
-            use = (nz > 0) & (tgt > 0) & (wgt > 0)
-            r = fisk.depth_rigidness(
-                jnp.maximum(nz, 1e-12), jnp.maximum(tgt, 1e-12),
-                p.basefocal, p.omega, p.abs_resize_factor,
-            )
-            cost = cost + jnp.where(use, -wgt * jnp.log(jnp.maximum(r, 1e-30)), 0.0)
-            wsum = wsum + jnp.where(use, wgt, 0.0)
-            return (cost, wsum), None
-
-        (cost, wsum), _ = jax.lax.scan(
-            pstep, (cost, wsum), (dp_Rs, dp_ts, target, weight)
-        )
+        pc, pw = prior_cost_sums(depth, prior_samples, p)
+        cost = cost + pc
+        wsum = wsum + pw
 
     cost = cost / jnp.maximum(wsum, 1.1920929e-07)
     return jnp.where(wsum == 0, jnp.inf, cost)
+
+
+def prior_cost_sums(depth, prior_samples, p: EmParams):
+    """Raw (cost_sum, weight_sum) of the depth-prior arm for one candidate
+    (the candidate-dependent part of compute_cost_map_tracked's prior
+    branch)."""
+    target, weight, dp_Rs, dp_ts = prior_samples
+    h, w = depth.shape
+    xs, ys = _pixel_grid(h, w)
+    ox, oy, oz = _backproject(xs, ys, depth, p)
+    cost = jnp.zeros((h, w), jnp.float32)
+    wsum = jnp.zeros((h, w), jnp.float32)
+
+    def pstep(carry, frame):
+        cost, wsum = carry
+        R, t, tgt, wgt = frame
+        nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+        use = (nz > 0) & (tgt > 0) & (wgt > 0)
+        r = fisk.depth_rigidness(
+            jnp.maximum(nz, 1e-12), jnp.maximum(tgt, 1e-12),
+            p.basefocal, p.omega, p.abs_resize_factor,
+        )
+        cost = cost + jnp.where(use, -wgt * jnp.log(jnp.maximum(r, 1e-30)), 0.0)
+        wsum = wsum + jnp.where(use, wgt, 0.0)
+        return (cost, wsum), None
+
+    (cost, wsum), _ = jax.lax.scan(
+        pstep, (cost, wsum), (dp_Rs, dp_ts, target, weight)
+    )
+    return cost, wsum
 
 
 def precompute_prior_samples(
@@ -519,5 +534,80 @@ def optimize_depth(
                 )
         else:
             raise ValueError(f"unknown local_prop_mode {local_prop_mode}")
+
+    return depth, cost
+
+
+def optimize_depth_batched(
+    depth,
+    cost,
+    batch_cost_fn,
+    key,
+    *,
+    n_rand_samples: int = 10,
+    global_prop_step: int = 8,
+    local_prop_width: int = 32,
+    range_factor: float = 1.0,
+):
+    """Batched-proposal depth update (the Pallas fast path).
+
+    Same proposal families as optimize_depth, but each phase evaluates its
+    candidates in ONE batched cost call (`batch_cost_fn: (K, h, w) ->
+    (K, h, w)` normalized costs) and the four propagation directions of a
+    level accept jointly by per-pixel argmin — a further TPU-first
+    reformulation of the reference's direction-sequential sweeps
+    (optimize_depth.cu:480-491); accepts remain strictly non-increasing in
+    cost.
+    """
+    h, w = depth.shape
+
+    def accept_batch(depth, cost, cands, masks):
+        costs = batch_cost_fn(cands)
+        costs = jnp.where(masks, costs, jnp.inf)
+        k_best = jnp.argmin(costs, axis=0)
+        best_cost = jnp.take_along_axis(costs, k_best[None], 0)[0]
+        best_cand = jnp.take_along_axis(cands, k_best[None], 0)[0]
+        better = best_cost < cost
+        return (
+            jnp.where(better, best_cand, depth),
+            jnp.where(better, best_cost, cost),
+        )
+
+    if n_rand_samples > 0:
+        u = jax.random.uniform(key, (n_rand_samples, h, w), jnp.float32)
+        cands = 1.0 / (range_factor * u + 1.0 / MAXIMUM_DEPTH)
+        depth, cost = accept_batch(
+            depth, cost, cands, jnp.ones_like(cands, dtype=bool)
+        )
+
+    if global_prop_step > 0:
+        cands, masks = [], []
+        for (dy, dx, along_x, start_hi) in (
+            (0, -1, True, False),
+            (1, 0, False, True),
+            (0, 1, True, True),
+            (-1, 0, False, False),
+        ):
+            cand, valid = _shift_depth(depth, dy, dx)
+            n = w if along_x else h
+            idx = jnp.arange(n)
+            if start_hi:
+                visited = ((n - 2 - idx) % global_prop_step == 0) & (idx <= n - 2)
+            else:
+                visited = ((idx - 1) % global_prop_step == 0) & (idx >= 1)
+            mask = visited[None, :] if along_x else visited[:, None]
+            cands.append(cand)
+            masks.append(valid & mask)
+        depth, cost = accept_batch(depth, cost, jnp.stack(cands), jnp.stack(masks))
+
+    o = 1
+    while o < local_prop_width:
+        cands, masks = [], []
+        for (sy, sx) in ((0, -1), (1, 0), (0, 1), (-1, 0)):
+            cand, valid = _shift_depth(depth, sy * o, sx * o)
+            cands.append(cand)
+            masks.append(valid)
+        depth, cost = accept_batch(depth, cost, jnp.stack(cands), jnp.stack(masks))
+        o *= 2
 
     return depth, cost

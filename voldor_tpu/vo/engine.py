@@ -54,6 +54,7 @@ def _depth_round_core(
     use_flows,
     use_priors,
     tracked,
+    use_pallas=False,
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
     FB-smoothing of the weights, proposal rounds, then rigidness refresh."""
@@ -90,6 +91,24 @@ def _depth_round_core(
                     active_n, params,
                 )
 
+            if use_pallas and use_flows:
+                from voldor_tpu.ops.pallas_cost import (
+                    cost_map_tracked_pallas,
+                    normalize_cost,
+                )
+
+                def batch_cost_fn(cands):
+                    cs, ws = cost_map_tracked_pallas(
+                        cands, track, tinb, rigidness, Rs, ts, active_n, params
+                    )
+                    if use_priors:
+                        pc, pw = jax.vmap(
+                            lambda c: em.prior_cost_sums(c, pr_samples, params)
+                        )(cands)
+                        cs = cs + pc
+                        ws = ws + pw
+                    return normalize_cost(cs, ws)
+
         else:
 
             def cost_fn(d):
@@ -98,17 +117,28 @@ def _depth_round_core(
                     dp_Rs, dp_ts, active_n, params,
                 )
 
-        cost = cost_fn(depth)
-        depth, cost = em.optimize_depth(
-            depth, cost, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs, dp_Rs,
-            dp_ts, active_n, params, key,
-            n_rand_samples=n_rand,
-            global_prop_step=gstep,
-            local_prop_width=lwidth,
-            range_factor=range_factor,
-            local_prop_mode=mode,
-            cost_fn=cost_fn,
-        )
+        if tracked and use_pallas and use_flows:
+            key, sub = jax.random.split(key)
+            cost = batch_cost_fn(depth[None])[0]
+            depth, cost = em.optimize_depth_batched(
+                depth, cost, batch_cost_fn, sub,
+                n_rand_samples=n_rand,
+                global_prop_step=gstep,
+                local_prop_width=lwidth,
+                range_factor=range_factor,
+            )
+        else:
+            cost = cost_fn(depth)
+            depth, cost = em.optimize_depth(
+                depth, cost, f, rigidness, Rs, ts, pr, dp_pconfs, dp_confs,
+                dp_Rs, dp_ts, active_n, params, key,
+                n_rand_samples=n_rand,
+                global_prop_step=gstep,
+                local_prop_width=lwidth,
+                range_factor=range_factor,
+                local_prop_mode=mode,
+                cost_fn=cost_fn,
+            )
 
     if use_flows:
         rigidness = em.update_rigidness(depth, flows, Rs, ts, active_n, params)
@@ -119,7 +149,7 @@ def _depth_round_core(
 
 _DEPTH_STATIC = (
     "n_rand", "gstep", "lwidth", "mode", "fb", "rig_only", "use_flows",
-    "use_priors", "tracked",
+    "use_priors", "tracked", "use_pallas",
 )
 
 
@@ -160,6 +190,16 @@ def _normalize_world_scale(poses6, depth, active_n):
     s = jnp.where(total > 0, active_n / jnp.maximum(total, 1e-30), 1.0)
     poses6 = poses6.at[:, 3:6].multiply(jnp.where(active[:, None], s, 1.0))
     return poses6, depth * s
+
+
+def _resolve_use_pallas(cfg: VoldorConfig) -> bool:
+    if cfg.depth_cost_mode != "tracked":
+        return False
+    if cfg.use_pallas_cost == "on":
+        return True
+    if cfg.use_pallas_cost == "off":
+        return False
+    return jax.default_backend() != "cpu"  # 'auto'
 
 
 _SOLVE_FN_CACHE: dict = {}
@@ -209,6 +249,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         use_flows=True,
         use_priors=use_priors,
         tracked=cfg.depth_cost_mode == "tracked",
+        use_pallas=_resolve_use_pallas(cfg),
     )
 
     @jax.jit
@@ -569,6 +610,7 @@ class VoldorEngine:
             use_flows=use_flows,
             use_priors=use_priors,
             tracked=cfg.depth_cost_mode == "tracked",
+            use_pallas=_resolve_use_pallas(cfg),
         )
 
     # ------------------------------------------------------------------
