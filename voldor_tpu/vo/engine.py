@@ -503,6 +503,19 @@ class VoldorEngine:
         self.iters_cur = int(iters_cur)
         self.iters_remain = 0
         self.pose_rigidness_densities[: rig_dens.shape[0]] = rig_dens
+        if cfg.kitti_estimate_ground:
+            # legacy capability (voldor.cpp:146-147, 320-331)
+            from voldor_tpu.vo.kitti_ground import estimate_kitti_ground
+
+            K = np.asarray(
+                [[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1]], np.float32
+            )
+            self.ground = estimate_kitti_ground(
+                self.depth, K,
+                roi_frac=cfg.kitti_ground_roi,
+                holo_width=cfg.kitti_ground_holo_width,
+                ms_kernel_var=cfg.kitti_ground_meanshift_kernel_var,
+            )
         return self.iters_cur
 
     def solve_stepwise(self) -> int:
