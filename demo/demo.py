@@ -23,6 +23,8 @@ parser.add_argument("--enable_mapping", action="store_true")
 parser.add_argument("--save_poses", type=str)
 parser.add_argument("--save_depths", type=str)
 parser.add_argument("--save_ply", type=str)
+parser.add_argument("--save_map", type=str, help="write a resumable map checkpoint at the end")
+parser.add_argument("--load_map", type=str, help="resume from a map checkpoint")
 
 opt = parser.parse_args()
 if opt.abs_resize is None:
@@ -42,6 +44,11 @@ if __name__ == "__main__":
 
     if opt.enable_loop_closure is not None:
         slam.enable_loop_closure(opt.enable_loop_closure)
+
+    if opt.load_map:
+        from voldor_tpu.slam.checkpoint import load_map
+
+        load_map(slam, opt.load_map)
 
     threading.Thread(
         target=slam.flow_loader,
@@ -85,3 +92,7 @@ if __name__ == "__main__":
         slam.save_depth_maps(opt.save_depths)
     if opt.save_ply is not None:
         viewer.save_ply(opt.save_ply)
+    if opt.save_map is not None:
+        from voldor_tpu.slam.checkpoint import save_map
+
+        save_map(slam, opt.save_map)

@@ -428,9 +428,12 @@ def _cameras_window_core(
         jnp.int32(n_flows),
         jnp.bool_(False),
     )
-    poses6, covars, densities, counts, n_flows_new, truncated = jax.lax.fori_loop(
-        0, N, body, init
-    )
+    # Unrolled over the (small, static) window: avoids fori_loop state
+    # round-trips between steps and lets XLA schedule across frames.
+    carry = init
+    for i in range(N):
+        carry = body(i, carry)
+    poses6, covars, densities, counts, n_flows_new, truncated = carry
     return CameraWindowResult(
         poses6=poses6,
         pose_covars=covars,
