@@ -279,3 +279,35 @@ def test_optimize_depth_batched_recovers():
     c_check = batch_cost_fn(depth[None])[0]
     ok = np.isfinite(np.asarray(cost))
     np.testing.assert_allclose(np.asarray(c_check)[ok], np.asarray(cost)[ok], rtol=1e-4, atol=1e-5)
+
+
+def test_exact_local_prop_mode_converges():
+    """The bit-faithful sequential chunk-scan propagation (parity mode for
+    the reference's width-32 serial chains, optimize_depth.cu:237-267) must
+    converge like the jump-flooding default."""
+    poses, flows, depth0, _ = _window()
+    Rs, ts = _pose_mats(poses)
+    p = _params()
+    rig = em.update_rigidness(jnp.asarray(depth0), jnp.asarray(flows), Rs, ts, jnp.int32(3), p)
+    dpR = jnp.zeros((0, 3, 3))
+    dpt = jnp.zeros((0, 3))
+    depth = jnp.full((H, W), 2.5, jnp.float32)
+
+    def cost_of(d):
+        return em.compute_cost_map(
+            d, jnp.asarray(flows), rig, Rs, ts, None, None, None, dpR, dpt,
+            jnp.int32(3), p,
+        )
+
+    cost = cost_of(depth)
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        depth, cost = em.optimize_depth(
+            depth, cost, jnp.asarray(flows), rig, Rs, ts, None, None, None,
+            dpR, dpt, jnp.int32(3), p, jax.random.fold_in(key, it),
+            n_rand_samples=6, global_prop_step=8, local_prop_width=8,
+            range_factor=1.0, local_prop_mode="exact",
+        )
+    inner = np.s_[8:-8, 8:-8]
+    rel = np.abs(np.asarray(depth)[inner] - depth0[inner]) / depth0[inner]
+    assert np.median(rel) < 0.06

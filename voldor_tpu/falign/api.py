@@ -71,7 +71,7 @@ def falign(
     if use_photo:
         dim_mask[7:9] = 1.0
 
-    maps = precompute_maps(
+    maps, bounds = precompute_maps(
         jnp.asarray(depths),
         None if weights is None else jnp.asarray(np.ascontiguousarray(weights, np.float32)),
         None if images is None else jnp.asarray(np.ascontiguousarray(images, np.float32)),
@@ -90,6 +90,7 @@ def falign(
         jnp.asarray(dim_mask),
         use_photo=use_photo,
         stride=int(stride),
+        bounds=bounds,
         n_frames=N,
     )
     params = np.asarray(res.params)
@@ -112,6 +113,7 @@ def falign(
         jnp.float32(crw),
         use_photo,
         jnp.float32(consistency_residual_bound),
+        bounds,
     )
     vis = np.asarray(vis)
     cons = np.asarray(cons)

@@ -29,18 +29,38 @@ from voldor_tpu.ops.image import bilinear_sample, sobel_like_gradient
 
 
 class FrameMaps(NamedTuple):
-    """Per-frame precomputed maps (align_frame_init_gpu, align_frame.cu:447-554)."""
+    """Per-frame precomputed maps (align_frame_init_gpu, align_frame.cu:447-554).
 
-    depths: jax.Array  # (N, h, w)
-    weights: jax.Array  # (N, h, w)
-    images: jax.Array  # (N, h, w); zeros when photometric term unused
-    normals: jax.Array  # (N, h, w, 3)
+    Maps are stored edge-padded to TPU-aligned dims (h -> multiple of 8,
+    w -> multiple of 128): differentiating through bilinear gathers at
+    certain unaligned sizes faults the TPU backend (185x613 reproducibly
+    crashed the worker; padding either dim fixes it). logical_h/logical_w
+    are returned separately by precompute_maps and passed as static args
+    (they must be compile-time constants, not traced pytree leaves).
+    """
+
+    depths: jax.Array  # (N, hp, wp)
+    weights: jax.Array  # (N, hp, wp)
+    images: jax.Array  # (N, hp, wp); zeros when photometric term unused
+    normals: jax.Array  # (N, hp, wp, 3)
 
 
-def precompute_maps(depths, weights, images, fx, fy, cx, cy) -> FrameMaps:
+def precompute_maps(depths, weights, images, fx, fy, cx, cy):
     """Normals from central differences of backprojected neighbours, flipped
-    to point at the viewer (align_frame.cu:153-173)."""
+    to point at the viewer (align_frame.cu:153-173).
+
+    Returns (FrameMaps, (logical_h, logical_w))."""
     N, h, w = depths.shape
+    logical_h, logical_w = int(h), int(w)
+    h_pad = (-h) % 8
+    w_pad = (-w) % 128
+    if h_pad or w_pad:
+        depths = jnp.pad(depths, ((0, 0), (0, h_pad), (0, w_pad)), mode="edge")
+        if images is not None:
+            images = jnp.pad(images, ((0, 0), (0, h_pad), (0, w_pad)), mode="edge")
+        if weights is not None:
+            weights = jnp.pad(weights, ((0, 0), (0, h_pad), (0, w_pad)), mode="edge")
+        h, w = h + h_pad, w + w_pad
     ys, xs = jnp.mgrid[0:h, 0:w]
     xs = xs.astype(depths.dtype)
     ys = ys.astype(depths.dtype)
@@ -71,7 +91,10 @@ def precompute_maps(depths, weights, images, fx, fy, cx, cy) -> FrameMaps:
         images = jnp.zeros_like(depths)
     if weights is None:
         weights = jnp.ones_like(depths)
-    return FrameMaps(depths=depths, weights=weights, images=images, normals=normals)
+    return (
+        FrameMaps(depths=depths, weights=weights, images=images, normals=normals),
+        (logical_h, logical_w),
+    )
 
 
 def pair_residual_map(
@@ -88,6 +111,7 @@ def pair_residual_map(
     crw,
     use_photo: bool,
     stride: int,
+    bounds: tuple[int, int],
     apply_weights: bool = True,
 ):
     """Residual + validity over the strided ref pixel grid.
@@ -95,8 +119,9 @@ def pair_residual_map(
     Returns (residual (hs, ws): sqrt-Cauchy robustified, valid (hs, ws)).
     Residual semantics match compute_residual + apply_weighted_sqrt_cauchy
     (align_frame.cu:205-411): invalid pixels must be ignored by the caller.
+    bounds: logical (h, w) of the unpadded maps.
     """
-    N, h, w = maps.depths.shape
+    h, w = bounds
     ys, xs = jnp.mgrid[0:h:stride, 0:w:stride]
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
@@ -107,7 +132,7 @@ def pair_residual_map(
     c_scale_ref = params_ref[7]
     c_offset_ref = params_ref[8]
 
-    depth_ref = maps.depths[ref_fid][::stride, ::stride]
+    depth_ref = maps.depths[ref_fid][:h:stride, :w:stride]
     p2r_d = depth_ref * jnp.exp(d_scale_ref)
     p3r = jnp.stack(
         [((xs - cx) / fx) * p2r_d, ((ys - cy) / fy) * p2r_d, p2r_d], axis=-1
@@ -144,13 +169,13 @@ def pair_residual_map(
     residual = drw * residual_depth
 
     if use_photo:
-        c_ref = maps.images[ref_fid][::stride, ::stride] + c_offset_ref
+        c_ref = maps.images[ref_fid][:h:stride, :w:stride] + c_offset_ref
         c_tar = (bilinear_sample(maps.images[tar_fid], p2t_x, p2t_y) + c_offset_tar) * (
             jnp.exp(c_scale_ref) / jnp.exp(c_scale_tar)
         )
         residual = residual + crw * 0.5 * (c_ref - c_tar) ** 2
 
-    weight = maps.weights[ref_fid][::stride, ::stride] if apply_weights else 1.0
+    weight = maps.weights[ref_fid][:h:stride, :w:stride] if apply_weights else 1.0
     r2 = weight * residual
     # sqrt-Cauchy robustifier (align_frame.cu:383-411): below eps the raw
     # value passes through.

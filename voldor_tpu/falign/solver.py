@@ -41,7 +41,7 @@ class FalignResult(NamedTuple):
     iters: jax.Array
 
 
-def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask):
+def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
     """Residuals (P, hs, ws) and Jacobians w.r.t. ref and tar params
     ((P, hs, ws, 9) each)."""
     fx, fy, cx, cy = intr
@@ -50,7 +50,7 @@ def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, d
         def f(p_ref, p_tar):
             r, v = pair_residual_map(
                 p_ref, p_tar, ref, tar, maps, fx, fy, cx, cy, vbf, crw,
-                use_photo, stride,
+                use_photo, stride, bounds,
             )
             return r, v
 
@@ -92,7 +92,7 @@ def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
 
 @partial(
     jax.jit,
-    static_argnames=("use_photo", "stride", "max_iters", "n_frames"),
+    static_argnames=("use_photo", "stride", "max_iters", "n_frames", "bounds"),
 )
 def lm_solve(
     params0,
@@ -106,6 +106,7 @@ def lm_solve(
     *,
     use_photo: bool,
     stride: int,
+    bounds: tuple[int, int],
     max_iters: int = 100,
     n_frames: int = 0,
 ) -> FalignResult:
@@ -118,7 +119,8 @@ def lm_solve(
     def cost_of(params):
         def one(pr, pt, ref, tar):
             r, v = pair_residual_map(
-                pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo, stride
+                pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
+                stride, bounds,
             )
             return jnp.sum(r * r)
 
@@ -133,7 +135,7 @@ def lm_solve(
     def body(state):
         params, lam, cost, it, done = state
         res, valid, Jr, Jt = _pair_res_and_jacs(
-            params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask
+            params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
         )
         H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
         diag = jnp.maximum(jnp.diag(H), 1e-8)
@@ -166,7 +168,7 @@ def lm_solve(
     # exactly the information the reference's block-diagonal problem exposes
     # to ceres::Covariance (align_frame.cpp:166-195).
     res, valid, Jr, _ = _pair_res_and_jacs(
-        params, pairs, maps, intr, vbf, crw, use_photo, stride, dim_mask
+        params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
     )
     P = pairs.shape[0]
     m = res.shape[1] * res.shape[2]
@@ -185,7 +187,8 @@ def lm_solve(
     return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost, iters=it)
 
 
-def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo, bound):
+def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo,
+                 bound, bounds):
     """Per-pair (visibility, consistency) over the full-resolution unweighted
     residual (align_frame_cost_fun.h:96-127)."""
     fx, fy, cx, cy = intr
@@ -193,7 +196,7 @@ def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo, boun
     def one(pr, pt, ref, tar):
         r, v = pair_residual_map(
             pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
-            stride=1, apply_weights=False,
+            stride=1, bounds=bounds, apply_weights=False,
         )
         n_total = r.shape[0] * r.shape[1]
         n_vis = jnp.sum(v)
