@@ -62,6 +62,12 @@ class VoldorConfig:
     pose_sample_min_depth: float = 0.1
     pose_sample_max_depth: float = 1000.0
     max_trace_on_flow: int = 3
+    # TPU knob (no reference analog): collect P3P correspondences on a
+    # strided pixel subgrid. The scattered bilinear flow gathers in the
+    # collect trace dominate the camera sweep on TPU and scale with the
+    # number of positions; the P3P stage only draws 4*n_poses_to_sample
+    # random correspondences from the pool anyway. 1 = reference-exact.
+    pose_sample_stride: int = 2
     rigidness_threshold: float = 0.5
     rigidness_sum_threshold: float = 1.0
 

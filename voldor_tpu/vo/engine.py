@@ -226,6 +226,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         sample_min_depth=cfg.pose_sample_min_depth,
         sample_max_depth=cfg.pose_sample_max_depth,
         max_trace_on_flow=cfg.max_trace_on_flow,
+        pose_sample_stride=cfg.pose_sample_stride,
         n_poses_to_sample=cfg.n_poses_to_sample,
         meanshift_kernel_var=cfg.meanshift_kernel_var,
         meanshift_rvec_scale=cfg.meanshift_rvec_scale,
@@ -565,6 +566,7 @@ class VoldorEngine:
             sample_min_depth=np.float32(cfg.pose_sample_min_depth),
             sample_max_depth=np.float32(cfg.pose_sample_max_depth),
             max_trace_on_flow=cfg.max_trace_on_flow,
+            pose_sample_stride=cfg.pose_sample_stride,
             n_poses_to_sample=cfg.n_poses_to_sample,
             meanshift_kernel_var=np.float32(cfg.meanshift_kernel_var),
             meanshift_rvec_scale=np.float32(cfg.meanshift_rvec_scale),

@@ -47,6 +47,7 @@ def collect_p3p_instances(
     sample_min_depth,
     sample_max_depth,
     max_trace_on_flow: int,
+    sample_stride: int = 1,
 ):
     """Per-pixel (p2, p3) correspondence maps + validity.
 
@@ -54,10 +55,22 @@ def collect_p3p_instances(
     3D point reaches after active_idx transforms minus the traced tail; p2
     is the pixel position traced along observed flows into frame active_idx
     (collect_p3p_instances.cu:70-145).
-    Returns (p2 (h, w, 2), p3 (h, w, 3), valid (h, w)).
+
+    sample_stride > 1 collects on a strided pixel subgrid (TPU knob, no
+    reference analog): the P3P stage only draws 4*n_poses random
+    correspondences from this pool anyway, and the scattered bilinear flow
+    gathers here scale with the number of trace positions — the dominant
+    cost of the camera sweep on TPU. stride=1 is reference-exact.
+    Returns (p2 (hs, ws, 2), p3 (hs, ws, 3), valid (hs, ws)).
     """
     N, h, w = rigidness.shape
     xs, ys = _pixel_grid(h, w)
+    if sample_stride > 1:
+        s = sample_stride
+        xs, ys = xs[::s, ::s], ys[::s, ::s]
+        depth = depth[::s, ::s]
+        rigidness = rigidness[:, ::s, ::s]
+    hs, ws = xs.shape
 
     ok = (depth >= sample_min_depth) & (
         (sample_max_depth <= 0) | (depth <= sample_max_depth)
@@ -89,7 +102,7 @@ def collect_p3p_instances(
             good,
         ), None
 
-    init = (jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.int32), jnp.ones((h, w), bool))
+    init = (jnp.ones((hs, ws), jnp.float32), jnp.zeros((hs, ws), jnp.int32), jnp.ones((hs, ws), bool))
     (_, n_trace, _), _ = jax.lax.scan(trace_step, init, jnp.arange(N))
     ok = ok & (n_trace > 0)
 
@@ -118,7 +131,7 @@ def collect_p3p_instances(
         d2 = jax.lax.cond(
             gather_possible,
             lambda: bilinear_sample(flows[jnp.clip(i, 0, N - 1)], px, py),
-            lambda: jnp.zeros((h, w, 2), flows.dtype),
+            lambda: jnp.zeros((hs, ws, 2), flows.dtype),
         )
         do_trace = tracing & (i <= active_idx)
         out_of_bounds = out_of_bounds | (do_trace & ~inb)
@@ -137,7 +150,7 @@ def collect_p3p_instances(
         oz = jnp.where(adv, nz, oz)
         return (ox, oy, oz, px, py, out_of_bounds), None
 
-    init = (ox, oy, oz, jnp.zeros_like(xs), jnp.zeros_like(ys), jnp.zeros((h, w), bool))
+    init = (ox, oy, oz, jnp.zeros_like(xs), jnp.zeros_like(ys), jnp.zeros((hs, ws), bool))
     (ox, oy, oz, px, py, oob), _ = jax.lax.scan(fwd_step, init, jnp.arange(N))
 
     ok = ok & ~oob & (oz > sample_min_depth) & (
@@ -166,6 +179,7 @@ def _pose_step_core(
     sample_min_depth=0.1,
     sample_max_depth=1000.0,
     max_trace_on_flow=3,
+    pose_sample_stride=1,
     n_poses_to_sample=8192,
     meanshift_kernel_var=0.1,
     meanshift_rvec_scale=25.0,
@@ -198,6 +212,7 @@ def _pose_step_core(
         sample_min_depth=sample_min_depth,
         sample_max_depth=sample_max_depth,
         max_trace_on_flow=max_trace_on_flow,
+        sample_stride=pose_sample_stride,
     )
     h, w = depth.shape
     p2s = p2map.reshape(-1, 2)
@@ -299,6 +314,7 @@ def _pose_step_core(
 
 _POSE_HP_STATIC = (
     "n_poses_to_sample",
+    "pose_sample_stride",
     "meanshift_max_iters",
     "meanshift_max_init_trials",
     "rg_max_iters",
