@@ -13,9 +13,9 @@ unspecified CUDA GPU, so vs_baseline is measured against 10 frames/sec.
 
 The remote-TPU backend's throughput fluctuates up to ~3.5x between
 processes (a degraded-worker mode that is sticky for a process's lifetime;
-docs/PLATFORM_NOTES.md). To measure the framework rather than the worker
-lottery, the measurement runs in N_RUNS child processes and the best run is
-reported; every run's fps is included under "runs".
+docs/PLATFORM_NOTES.md). The measurement runs in N_RUNS child processes
+and the MEDIAN run is reported; every run's fps is included under "runs"
+so the worker lottery stays visible.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10, "runs": [...]}
@@ -35,7 +35,6 @@ N_RUNS = 3
 
 BASELINE_FPS = 10.0  # reference README.md:160 recommended KITTI input rate
 WINDOW = 5
-VO_STEP = 2  # typical covisibility-gated frame advance per solve (mono KITTI)
 H, W = 185, 613
 
 
@@ -110,6 +109,9 @@ def _make_slam(flows):
 
     slam = VOLDOR_SLAM(mode="mono")
     slam.use_image_info = False
+    # TPU speed knob (collect on a strided subgrid); the benchmark's ATE
+    # gate below verifies accuracy still holds with it.
+    slam.voldor_user_config = "--pose_sample_stride 2"
     slam.set_cam_params(350.0, 350.0, W / 2, H / 2)
     slam.flows = [flows[i] for i in range(flows.shape[0])]
     slam.N_FRAMES = flows.shape[0] + 1
@@ -186,9 +188,10 @@ def main():
     if not results:
         run_once()  # children failed (e.g. no subprocess allowed): run inline
         return
-    best = max(results, key=lambda r: r["value"])
-    best["runs"] = [r["value"] for r in results]
-    print(json.dumps(best))
+    results.sort(key=lambda r: r["value"])
+    median = results[len(results) // 2]
+    median["runs"] = [r["value"] for r in results]
+    print(json.dumps(median))
 
 
 if __name__ == "__main__":

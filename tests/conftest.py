@@ -28,6 +28,38 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Tests that individually exceed ~15s on the CPU suite (measured with
+# --durations; see CLAUDE.md). The fast lane `-m "not slow"` stays under
+# ~3 min so the last commit of a round can always re-verify quickly.
+_SLOW_TESTS = {
+    "test_checkpoint_roundtrip",
+    "test_optimize_depth_recovers_from_wrong_init",
+    "test_exact_local_prop_mode_converges",
+    "test_falign_recovers_relative_pose_geometry_only",
+    "test_depth_prior_mode",
+    "test_multichip_matches_single_chip",
+    "test_dryrun_multichip",
+    "test_stereo_mode_recovers_metric_scale",
+    "test_slam_mono_local_links_and_pgo",
+    "test_slam_mono_vo_trajectory",
+    "test_falign_connectivity_subset",
+    "test_optimize_depth_monotone_cost",
+    "test_save_result",
+    "test_engine_mono_end_to_end",
+    "test_falign_photometric_refinement",
+    "test_optimize_depth_batched_recovers",
+    "test_pgo_consistent_graph_is_fixed_point",
+    "test_pallas_cost_matches_reference",
+    "test_demo_pipeline_with_loaders",
+    "test_save_poses_formats",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

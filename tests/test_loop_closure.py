@@ -82,3 +82,85 @@ def test_g2o_roundtrip(tmp_path):
     write_g2o(str(q), ids, out)
     ids2, poses2, *_ = read_g2o(str(q))
     np.testing.assert_allclose(poses2[:, 3:6], out[:, 3:6], atol=1e-5)
+
+
+def _textured_place(rng, seed):
+    """A 192x256 image with place-specific blob + gradient texture (enough
+    structure for ORB corners and distinct global appearance)."""
+    h, w = 192, 256
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = 120 + 40 * np.sin(0.11 * xs + 2.1 * seed) + 35 * np.cos(0.13 * ys - seed)
+    r = np.random.default_rng(1000 + seed)
+    for _ in range(25):  # high-contrast blobs = ORB corners
+        cy, cx = r.integers(10, h - 10), r.integers(10, w - 10)
+        rad = int(r.integers(3, 9))
+        img[cy - rad : cy + rad, cx - rad : cx + rad] += float(r.uniform(-90, 90))
+    img += rng.normal(0, 3, (h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _perturb(img, rng):
+    """Viewpoint-ish query perturbation: shift + brightness + noise."""
+    out = np.roll(img, (3, 5), axis=(0, 1)).astype(np.float32)
+    out = out * 1.08 + 6 + rng.normal(0, 4, img.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def test_retrieval_precision_both_backends(rng):
+    """Precision@1 on ground-truth revisits, through the uniform frame
+    interface used by append_kf (query_frame/add_frame)."""
+    cv2 = pytest.importorskip("cv2")
+    orb = cv2.ORB_create()
+
+    n_places = 12
+    places = [_textured_place(rng, s) for s in range(n_places)]
+    descs = []
+    for img in places:
+        _, des = orb.detectAndCompute(img, None)
+        assert des is not None and len(des) >= 8, "scene must produce ORB features"
+        descs.append(des)
+
+    retrievers = {"thumb": ThumbnailRetriever(), "bow": BowRetriever(n_words=256)}
+    for name, r in retrievers.items():
+        for img, des in zip(places, descs):
+            r.add_frame(img.astype(np.float32), des)
+
+    hits = {name: 0 for name in retrievers}
+    for gt_id, img in enumerate(places):
+        q = _perturb(img, rng)
+        _, qdes = orb.detectAndCompute(q, None)
+        for name, r in retrievers.items():
+            res = r.query_frame(q.astype(np.float32), qdes)
+            if res and res[0][0] == gt_id:
+                hits[name] += 1
+
+    precision = {k: v / n_places for k, v in hits.items()}
+    # Measured on this harness: bow 0.92, thumb 0.75 (the thumbnail cosine
+    # is shift-sensitive — why BowRetriever is the default backend). Bars
+    # sit just under the measured values to catch retrieval regressions.
+    assert precision["bow"] >= 0.8, precision
+    assert precision["thumb"] >= 0.6, precision
+
+
+def test_append_kf_works_with_bow_retriever(rng):
+    """append_kf must work with the descriptor-based backend (the round-1
+    wiring passed a grayscale image into BowRetriever.query)."""
+    cv2 = pytest.importorskip("cv2")
+    from voldor_tpu.slam.frame import Frame
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    slam = VOLDOR_SLAM(mode="mono")
+    slam.set_cam_params(80.0, 80.0, 128.0, 96.0)
+    slam.enable_loop_closure(retriever=BowRetriever(n_words=128))
+    slam.lc_min_kf_distance = 0  # tiny map: allow close revisits
+    slam.image_loader_sync = lambda fid, **kw: True
+
+    imgs = [_textured_place(rng, s) for s in (0, 1, 0)]  # frame 2 revisits 0
+    slam.images_bgri = [cv2.cvtColor(i, cv2.COLOR_GRAY2BGR) for i in imgs]
+    slam.frames = [Frame(np.eye(4)) for _ in imgs]
+
+    for fid in range(3):
+        slam.append_kf(fid)
+    assert len(slam.retriever) == 3
+    # the revisit should surface as an LC candidate (2 -> 0)
+    assert any(rid == 0 and qid == 2 for rid, qid in slam.lc_candidates)

@@ -124,3 +124,43 @@ def test_demo_pipeline_with_loaders(tmp_path):
     n_pts = int(text.split("element vertex ")[1].split("\n")[0])
     assert n_pts > 100
     assert len(viewer.trajectory()) == int(slam.N_FRAMES)
+
+
+def test_mono_scaled_fit_recovers_disparity_scale(rng):
+    """_mono_scaled_fit (voldor_slam.py:472-492): Huber fit of predicted vs
+    observed disparity must rescale depth, translations, and covariances by
+    the inverse fitted coefficient, robust to outliers."""
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    slam = VOLDOR_SLAM(mode="mono-scaled")
+    slam.set_cam_params(FX, FY, CX, CY, BF)
+    slam.fid_cur = 0
+
+    depth = rng.uniform(3.0, 12.0, (H, W)).astype(np.float32)
+    true_scale = 0.5  # observed disparity is 2x predicted -> scale = 1/2
+    disp = (slam.basefocal / (depth * true_scale)).astype(np.float32)
+    # 10% gross outliers: the Huber loss must shrug these off
+    n_out = int(0.1 * disp.size)
+    out_idx = rng.choice(disp.size, n_out, replace=False)
+    disp.reshape(-1)[out_idx] *= rng.uniform(5.0, 20.0, n_out).astype(np.float32)
+    slam.disps = [disp]
+
+    poses = rng.normal(0, 0.2, (3, 6)).astype(np.float32)
+    covar = np.tile(np.eye(6, dtype=np.float32), (3, 1, 1))
+    vo_ret = {
+        "depth": depth.copy(),
+        "depth_conf": np.full((H, W), 0.9, np.float32),
+        "poses": poses.copy(),
+        "poses_covar": covar.copy(),
+    }
+    slam._mono_scaled_fit(vo_ret)
+
+    np.testing.assert_allclose(vo_ret["depth"], depth * true_scale, rtol=0.05)
+    np.testing.assert_allclose(vo_ret["poses"][:, 3:6], poses[:, 3:6] * true_scale, rtol=0.05)
+    np.testing.assert_allclose(vo_ret["poses"][:, :3], poses[:, :3])  # rvec untouched
+    # covar rows AND cols of the translation block get scaled
+    np.testing.assert_allclose(
+        vo_ret["poses_covar"][:, 3:6, 3:6],
+        covar[:, 3:6, 3:6] * true_scale**2,
+        rtol=0.05,
+    )

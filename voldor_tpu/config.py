@@ -66,8 +66,10 @@ class VoldorConfig:
     # strided pixel subgrid. The scattered bilinear flow gathers in the
     # collect trace dominate the camera sweep on TPU and scale with the
     # number of positions; the P3P stage only draws 4*n_poses_to_sample
-    # random correspondences from the pool anyway. 1 = reference-exact.
-    pose_sample_stride: int = 2
+    # random correspondences from the pool anyway. 1 = reference-exact
+    # (the default; bench/presets opt into 2 where the accuracy A/B
+    # justifies it — see tests/test_degraded.py).
+    pose_sample_stride: int = 1
     rigidness_threshold: float = 0.5
     rigidness_sum_threshold: float = 1.0
 

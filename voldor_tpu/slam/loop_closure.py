@@ -61,6 +61,14 @@ class ThumbnailRetriever:
         self._db.append(self._descriptor(image_gray))
         return len(self._db) - 1
 
+    # Uniform frame interface used by VOLDOR_SLAM.append_kf: either backend
+    # picks the input it needs from (grayscale image, ORB descriptors).
+    def query_frame(self, image_gray, des, max_results: int = 8):
+        return self.query(image_gray, max_results)
+
+    def add_frame(self, image_gray, des) -> int:
+        return self.add(image_gray)
+
     def __len__(self):
         return len(self._db)
 
@@ -114,6 +122,13 @@ class BowRetriever:
         self._hists.append(h)
         self._df += h > 0
         return len(self._hists) - 1
+
+    # Uniform frame interface (see ThumbnailRetriever.query_frame).
+    def query_frame(self, image_gray, des, max_results: int = 8):
+        return self.query(des, max_results)
+
+    def add_frame(self, image_gray, des) -> int:
+        return self.add(des)
 
     def __len__(self):
         return len(self._hists)

@@ -55,9 +55,16 @@ def _depth_round_core(
     use_priors,
     tracked,
     use_pallas=False,
+    obs_track=None,
+    obs_tinb=None,
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
-    FB-smoothing of the weights, proposal rounds, then rigidness refresh."""
+    FB-smoothing of the weights, proposal rounds, then rigidness refresh.
+
+    obs_track/obs_tinb: precomputed em.precompute_obs_tracks result for the
+    current active_n (the fused solve hoists it out of the EM loop — tracks
+    depend only on flows + active_n and recomputing them each iteration was
+    ~1/3 of the depth round's cost)."""
     from voldor_tpu.vo.pose_step import _as_key
 
     key = _as_key(seed)
@@ -78,7 +85,10 @@ def _depth_round_core(
         if tracked:
             track = tinb = None
             if use_flows:
-                track, tinb = em.precompute_obs_tracks(flows, active_n, params)
+                if obs_track is not None:
+                    track, tinb = obs_track, obs_tinb
+                else:
+                    track, tinb = em.precompute_obs_tracks(flows, active_n, params)
             pr_samples = None
             if use_priors:
                 pr_samples = em.precompute_prior_samples(
