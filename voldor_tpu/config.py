@@ -115,6 +115,17 @@ class VoldorConfig:
     # 'auto' = on TPU backends, 'on', 'off'. (~190x over the XLA-fused
     # equivalent on v5e; requires depth_cost_mode == 'tracked'.)
     use_pallas_cost: str = "auto"
+    # Camera-sweep schedule over the window (voldor.cpp:164-201 is a
+    # sequential Gauss-Seidel sweep: frame i's collect uses the poses of
+    # frames < i updated in the same sweep):
+    # 'seq'    : reference-exact sequential sweep
+    # 'jacobi' : all frames batched against the pre-sweep poses (one
+    #            collect scan, one N*8192 P4P batch, vmapped meanshift/rg)
+    # 'hybrid' : sequential on EM iteration 1 (poses are still zero and
+    #            frame i genuinely needs frame i-1's estimate), jacobi on
+    #            iterations 2+ (poses only drift). Accuracy A/B on the
+    #            degraded harness: tests/test_degraded.py + docs/ACCURACY_AB.
+    pose_window_sweep: str = "seq"
     # PRNG seed for pose sampling / depth proposals (reference RAND_SEED 233,
     # optimize_depth.cu:8 / collect_p3p_instances.cu:6).
     seed: int = 233

@@ -62,10 +62,15 @@ def voldor(
     engine.solve()
 
     n = min(engine.n_flows, n_true)
-    return {
+    ret = {
         "n_registered": n,
         "poses": np.asarray(engine.poses[:n], np.float32),
         "poses_covar": np.asarray(engine.pose_covars[:n], np.float32),
         "depth": np.asarray(engine.depth, np.float32),
         "depth_conf": engine.depth_confidence(),
     }
+    if cfg.save_everything:
+        # extra diagnostics (the reference dumps these to disk instead,
+        # voldor.cpp:352-376): per-frame rigidness maps of the whole window.
+        ret["rigidness"] = np.asarray(engine.rigidness[:n_true], np.float32)
+    return ret

@@ -228,17 +228,21 @@ def compute_cost_map_tracked(
 
     if track is not None:
         track_x, track_y, obs_x, obs_y = track
+        N = track_x.shape[0]
 
         def step(carry, frame):
             ox, oy, oz, cost, wsum = carry
-            R, t, tx, ty, obx, oby, inb, rig = frame
+            R, t, tx, ty, obx, oby, inb, rig, active = frame
             nx = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
             ny = R[1, 0] * ox + R[1, 1] * oy + R[1, 2] * oz + t[1]
             nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
             safe_nz = jnp.where(jnp.abs(nz) < 1e-12, 1e-12, nz)
             px2 = (p.fx * nx + p.cx * safe_nz) / safe_nz
             py2 = (p.fy * ny + p.cy * safe_nz) / safe_nz
-            use = inb & (nz > 0)
+            # active gate: tracks may be precomputed for the pre-truncation
+            # window (they depend only on flows), so inactive frames must be
+            # masked here, not via track_inb.
+            use = inb & (nz > 0) & active
             r = fisk.rigidness_xy(
                 px2 - tx, py2 - ty, obx, oby, p.lam, p.abs_resize_factor
             )
@@ -249,7 +253,8 @@ def compute_cost_map_tracked(
         (_, _, _, cost, wsum), _ = jax.lax.scan(
             step,
             (ox, oy, oz, cost, wsum),
-            (Rs, ts, track_x, track_y, obs_x, obs_y, track_inb, rigidness),
+            (Rs, ts, track_x, track_y, obs_x, obs_y, track_inb, rigidness,
+             jnp.arange(N) < active_n),
         )
 
     if prior_samples is not None:
@@ -396,14 +401,19 @@ def compute_cost_map(
 
 def _shift_depth(depth, dy, dx):
     """Candidate map: each pixel proposes the depth of its (dy, dx)-offset
-    neighbor; out-of-range pixels propose their own depth (no-op)."""
+    neighbor; out-of-range pixels propose their own depth (no-op).
+
+    dy/dx are static Python ints, so the shift compiles to a pad + static
+    slice (a gather formulation forced scatter/gather lowering on TPU)."""
     h, w = depth.shape
+    pu, pd = max(-dy, 0), max(dy, 0)
+    pl, pr = max(-dx, 0), max(dx, 0)
+    padded = jnp.pad(depth, ((pu, pd), (pl, pr)), mode="edge")
+    shifted = padded[pu + dy : pu + dy + h, pl + dx : pl + dx + w]
     ys = jnp.arange(h) + dy
     xs = jnp.arange(w) + dx
     valid = ((ys >= 0) & (ys < h))[:, None] & ((xs >= 0) & (xs < w))[None, :]
-    ys = jnp.clip(ys, 0, h - 1)
-    xs = jnp.clip(xs, 0, w - 1)
-    return jnp.where(valid, depth[ys[:, None], xs[None, :]], depth), valid
+    return jnp.where(valid, shifted, depth), valid
 
 
 def optimize_depth(
@@ -564,9 +574,13 @@ def optimize_depth_batched(
     def accept_batch(depth, cost, cands, masks):
         costs = batch_cost_fn(cands)
         costs = jnp.where(masks, costs, jnp.inf)
+        # gather-free best-of-K: min + one-hot select (take_along_axis
+        # lowers to a dynamic gather on TPU; K is tiny so a masked sum is
+        # pure VPU work).
+        best_cost = jnp.min(costs, axis=0)
         k_best = jnp.argmin(costs, axis=0)
-        best_cost = jnp.take_along_axis(costs, k_best[None], 0)[0]
-        best_cand = jnp.take_along_axis(cands, k_best[None], 0)[0]
+        onehot = jnp.arange(cands.shape[0])[:, None, None] == k_best[None]
+        best_cand = jnp.sum(jnp.where(onehot, cands, 0.0), axis=0)
         better = best_cost < cost
         return (
             jnp.where(better, best_cand, depth),

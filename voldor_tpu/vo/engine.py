@@ -26,7 +26,12 @@ import numpy as np
 from voldor_tpu.config import VoldorConfig
 from voldor_tpu.ops import epipolar, lie
 from voldor_tpu.vo import em
-from voldor_tpu.vo.pose_step import CameraWindowResult, _cameras_window_core, optimize_cameras_window
+from voldor_tpu.vo.pose_step import (
+    CameraWindowResult,
+    _cameras_window_core,
+    _cameras_window_jacobi_core,
+    optimize_cameras_window,
+)
 
 
 def _depth_round_core(
@@ -270,6 +275,19 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
     ):
         base = jax.random.PRNGKey(seed)
 
+        # Observed tracks depend only on the flows, not on the evolving
+        # depth/poses — hoist them out of the EM loop (the per-frame
+        # bilinear-gather chain is ~1/3 of a depth round's cost). Tracks are
+        # computed for the pre-truncation window; the cost evaluators gate
+        # inactive frames by the *current* active_n (track positions of
+        # frame f only depend on frames < f, so values are identical for
+        # every frame that stays active after truncation).
+        obs_track = obs_tinb = None
+        if depth_kw["tracked"] and not depth_kw["rig_only"]:
+            obs_track, obs_tinb = em.precompute_obs_tracks(
+                flows, jnp.int32(n_flows0), params
+            )
+
         def cond(st):
             return (st["iters_remain"] > 0) & (st["n_flows"] > 0)
 
@@ -280,16 +298,36 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
             rg_ref = bool(cfg.rg_refine) & (
                 (not cfg.rg_refine_last_only) | (iters_remain == 0)
             )
-            cam = _cameras_window_core(
+            sweep_args = (
                 st["depth"], flows, st["rigidness"], st["poses6"], st["covars"],
                 st["densities"], st["counts"], st["n_flows"],
                 allow_trunc, rg_ref,
                 jax.random.fold_in(base, iters_cur),
                 params,
+            )
+            sweep_kw = dict(
                 trunc_rigidness_density=cfg.trunc_rigidness_density,
                 trunc_sample_density=cfg.trunc_sample_density,
                 **pose_hp,
             )
+            if cfg.pose_window_sweep == "seq":
+                cam = _cameras_window_core(*sweep_args, **sweep_kw)
+            elif cfg.pose_window_sweep == "jacobi":
+                cam = _cameras_window_jacobi_core(*sweep_args, **sweep_kw)
+            elif cfg.pose_window_sweep == "hybrid":
+                # EM iteration 1 must run the sequential Gauss-Seidel sweep
+                # (frame i's chain needs frame i-1's fresh estimate while the
+                # window poses are still unsolved); later iterations only
+                # drift, so the batched Jacobi sweep takes over.
+                cam = jax.lax.cond(
+                    iters_cur == 1,
+                    lambda: _cameras_window_core(*sweep_args, **sweep_kw),
+                    lambda: _cameras_window_jacobi_core(*sweep_args, **sweep_kw),
+                )
+            else:
+                raise ValueError(
+                    f"unknown pose_window_sweep {cfg.pose_window_sweep!r}"
+                )
             n_flows = cam.n_flows_new
             iters_remain = jnp.where(
                 cam.truncated,
@@ -303,6 +341,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 jax.random.fold_in(base, 1000 + iters_cur),
                 jnp.float32(cfg.fb_emm), jnp.float32(cfg.fb_no_change_prob),
                 jnp.float32(cfg.depth_range_factor),
+                obs_track=obs_track, obs_tinb=obs_tinb,
                 **depth_kw,
             )
             poses6_ = cam.poses6

@@ -162,6 +162,130 @@ def collect_p3p_instances(
     return p2, p3, ok & finite
 
 
+def collect_p3p_instances_all(
+    depth,
+    flows,
+    rigidness,
+    Rs,
+    ts,
+    active_n,
+    p: EmParams,
+    *,
+    rigidness_threshold,
+    rigidness_sum_threshold,
+    sample_min_depth,
+    sample_max_depth,
+    max_trace_on_flow: int,
+    sample_stride: int = 1,
+):
+    """(p2, p3, valid) correspondence maps for EVERY window frame in ONE
+    scan — the batched (Jacobi) counterpart of collect_p3p_instances.
+
+    Key observation: the 3D chain for target frame i is the shared
+    point-transform chain truncated at step i, and the backward flow trace
+    for target i is one of at most `max_trace_on_flow` rolling trace buffers
+    (a trace born at frame s serves every target i with
+    trace_start(i) == s). One scan over frames therefore yields all N
+    targets with ONE batched flow gather per frame instead of the
+    sequential sweep's per-target chains (collect_p3p_instances.cu:70-145
+    semantics, scheduled TPU-first).
+
+    Returns (p2 (N, hs, ws, 2), p3 (N, hs, ws, 3), valid (N, hs, ws)).
+    """
+    N, h, w = rigidness.shape
+    xs, ys = _pixel_grid(h, w)
+    if sample_stride > 1:
+        s = sample_stride
+        xs, ys = xs[::s, ::s], ys[::s, ::s]
+        depth = depth[::s, ::s]
+        rigidness = rigidness[:, ::s, ::s]
+    hs, ws = xs.shape
+    M = max(int(max_trace_on_flow), 1) if max_trace_on_flow > 0 else N
+
+    ok0 = (depth >= sample_min_depth) & (
+        (sample_max_depth <= 0) | (depth <= sample_max_depth)
+    )
+    rig_sum = jnp.sum(rigidness, axis=0)
+    ok0 = ok0 & ~(
+        (rig_sum < rigidness_sum_threshold) & (rigidness_sum_threshold > N + 1)
+    )
+
+    ox0, oy0, oz0 = _backproject(xs, ys, depth, p)
+    ages = jnp.arange(M)
+
+    def step(carry, frame):
+        ox, oy, oz, tpx, tpy, toob, prods = carry
+        R, t, flow, rig, i = frame
+        active = i < active_n
+
+        # rigidness products over the last M frames ending at i
+        # (collect_p3p_instances.cu:92-103: backward walk while prod > tau).
+        prods = jnp.concatenate([rig[None], prods[:-1] * rig[None]], axis=0)
+
+        # birth of a new trace: project the chain point (frame-i coords)
+        safe_oz = jnp.where(jnp.abs(oz) < 1e-12, 1e-12, oz)
+        prj_x = (p.fx * ox + p.cx * safe_oz) / safe_oz
+        prj_y = (p.fy * oy + p.cy * safe_oz) / safe_oz
+        tpx = jnp.concatenate([prj_x[None], tpx[:-1]], axis=0)
+        tpy = jnp.concatenate([prj_y[None], tpy[:-1]], axis=0)
+        toob = jnp.concatenate(
+            [jnp.zeros((1, hs, ws), bool), toob[:-1]], axis=0
+        )
+
+        # advance every live trace along the observed flow (ONE batched
+        # gather; bounds semantics identical to the sequential fwd_step).
+        inb = (tpx > 0) & (tpx < w) & (tpy > 0) & (tpy < h)
+        obs = jax.lax.cond(
+            active,
+            lambda: bilinear_sample(flow, tpx, tpy),
+            lambda: jnp.zeros((M, hs, ws, 2), flow.dtype),
+        )
+        toob = toob | ~inb
+        tpx = jnp.where(inb, tpx + obs[..., 0], tpx)
+        tpy = jnp.where(inb, tpy + obs[..., 1], tpy)
+
+        # emit target i: pick the trace buffer of age n_trace-1
+        age_ok = (ages <= i)[:, None, None]
+        alive = (prods > rigidness_threshold) & age_ok
+        prefix = jnp.cumprod(alive.astype(jnp.int32), axis=0)
+        n_trace = jnp.sum(prefix, axis=0)  # (hs, ws) in 0..M
+        sel = jnp.clip(n_trace - 1, 0, M - 1)
+        onehot = ages[:, None, None] == sel[None]
+        p2x = jnp.sum(jnp.where(onehot, tpx, 0.0), axis=0)
+        p2y = jnp.sum(jnp.where(onehot, tpy, 0.0), axis=0)
+        oob = jnp.any(onehot & toob, axis=0)
+        finite = (
+            jnp.isfinite(p2x) & jnp.isfinite(p2y)
+            & jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+        )
+        valid = (
+            ok0 & active & (n_trace > 0) & ~oob & finite
+            & (oz > sample_min_depth)
+            & ((sample_max_depth <= 0) | (oz < sample_max_depth))
+        )
+        out = (p2x, p2y, ox, oy, oz, valid)
+
+        # advance the chain point to frame i+1 coords
+        nx = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
+        ny = R[1, 0] * ox + R[1, 1] * oy + R[1, 2] * oz + t[1]
+        nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+        return (nx, ny, nz, tpx, tpy, toob, prods), out
+
+    init = (
+        ox0, oy0, oz0,
+        jnp.zeros((M, hs, ws), jnp.float32),
+        jnp.zeros((M, hs, ws), jnp.float32),
+        jnp.zeros((M, hs, ws), bool),
+        jnp.zeros((M, hs, ws), jnp.float32),
+    )
+    _, (p2x, p2y, p3x, p3y, p3z, valid) = jax.lax.scan(
+        step, init, (Rs, ts, flows, rigidness, jnp.arange(N))
+    )
+    p2 = jnp.stack([p2x, p2y], axis=-1)
+    p3 = jnp.stack([p3x, p3y, p3z], axis=-1)
+    return p2, p3, valid
+
+
 def _pose_step_core(
     depth,
     flows,
@@ -455,6 +579,189 @@ def _cameras_window_core(
         pose_covars=covars,
         pose_densities=densities,
         pose_sample_counts=counts,
+        rigidness_densities=rig_dens,
+        n_flows_new=n_flows_new,
+        truncated=truncated,
+    )
+
+
+def _cameras_window_jacobi_core(
+    depth,
+    flows,
+    rigidness,
+    poses6,
+    pose_covars,
+    pose_densities,
+    pose_sample_counts,
+    n_flows,
+    allow_trunc,
+    rg_refine,
+    seed,
+    p: EmParams,
+    trunc_rigidness_density=0.05,
+    trunc_sample_density=0.001,
+    *,
+    rigidness_threshold=0.5,
+    rigidness_sum_threshold=1.0,
+    sample_min_depth=0.1,
+    sample_max_depth=1000.0,
+    max_trace_on_flow=3,
+    pose_sample_stride=1,
+    n_poses_to_sample=8192,
+    meanshift_kernel_var=0.1,
+    meanshift_rvec_scale=25.0,
+    meanshift_epsilon=1e-5,
+    meanshift_max_iters=100,
+    meanshift_max_init_trials=20,
+    meanshift_good_init_confidence=0.5,
+    rg_trunc_sigma=3.0,
+    rg_covar_reg_lambda=0.001,
+    rg_pose_scaling=100.0,
+    rg_epsilon=1e-5,
+    rg_max_iters=100,
+) -> CameraWindowResult:
+    """Batched (Jacobi) camera sweep: every frame's pose step against the
+    pre-sweep window poses.
+
+    TPU-first alternative to the reference's Gauss-Seidel sweep
+    (voldor.cpp:164-201): one all-frames collect scan, one N*8192 P4P
+    batch, vmapped meanshift + robust-Gaussian. The truncation policy is
+    applied post-hoc on the per-frame outcomes (first failing frame cuts
+    the window, exactly the sequential rule). Intended for EM iterations
+    >= 2 where the window poses only drift ('hybrid' schedule);
+    iteration-1 semantics need the sequential sweep (frame i's chain
+    genuinely requires frame i-1's fresh estimate).
+    """
+    N = flows.shape[0]
+    base_key = _as_key(seed)
+    rig_dens = jnp.mean(rigidness.reshape(N, -1), axis=1)
+
+    Rs = lie.so3_exp(poses6[:, :3])
+    ts = poses6[:, 3:6]
+    p2, p3, valid = collect_p3p_instances_all(
+        depth, flows, rigidness, Rs, ts, n_flows, p,
+        rigidness_threshold=rigidness_threshold,
+        rigidness_sum_threshold=rigidness_sum_threshold,
+        sample_min_depth=sample_min_depth,
+        sample_max_depth=sample_max_depth,
+        max_trace_on_flow=max_trace_on_flow,
+        sample_stride=pose_sample_stride,
+    )
+    p2s = p2.reshape(N, -1, 2)
+    p3s = p3.reshape(N, -1, 3)
+    valid_flat = valid.reshape(N, -1)
+    n_points = jnp.sum(valid_flat.astype(jnp.int32), axis=1)
+
+    frame_keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(N)
+    )
+    sample_keys = jax.vmap(lambda k: jax.random.split(k)[0])(frame_keys)
+    ms_keys = jax.vmap(lambda k: jax.random.split(k)[1])(frame_keys)
+
+    def one_p4p(p2_i, p3_i, valid_i, key_i):
+        return p3p.solve_batch_p4p(
+            p2_i, p3_i, valid_i, key_i, p.fx, p.fy, p.cx, p.cy,
+            n_poses=n_poses_to_sample,
+        )
+
+    rvecs, tvecs, ok = jax.vmap(one_p4p)(p2s, p3s, valid_flat, sample_keys)
+    pool = jnp.concatenate([rvecs * meanshift_rvec_scale, tvecs], axis=-1)
+    pool_valid = ok.astype(jnp.float32)
+    pose_sample_count = jnp.sum(ok.astype(jnp.int32), axis=1)
+
+    ms_init = jnp.concatenate(
+        [poses6[:, :3] * meanshift_rvec_scale, poses6[:, 3:6]], axis=-1
+    )
+    successive = pose_sample_counts != 0
+
+    def one_ms(pool_i, valid_i, init_i, succ_i, key_i):
+        return meanshift(
+            pool_i, valid_i, meanshift_kernel_var, init_i, succ_i, key_i,
+            epsilon=meanshift_epsilon,
+            max_iters=meanshift_max_iters,
+            max_init_trials=meanshift_max_init_trials,
+            good_init_confidence=meanshift_good_init_confidence,
+        )
+
+    ms = jax.vmap(one_ms)(pool, pool_valid, ms_init, successive, ms_keys)
+
+    s = rg_pose_scaling
+    covar0 = jnp.broadcast_to(
+        jnp.eye(6, dtype=jnp.float32) * (meanshift_kernel_var * s * s),
+        (N, 6, 6),
+    )
+
+    def run_rg():
+        def one_rg(pool_i, valid_i, mean_i, covar_i):
+            return fit_robust_gaussian(
+                pool_i * s, valid_i, mean_i * s, covar_i,
+                trunc_sigma=rg_trunc_sigma,
+                covar_reg_lambda=rg_covar_reg_lambda,
+                epsilon=rg_epsilon,
+                max_iters=rg_max_iters,
+            )
+
+        return jax.vmap(one_rg)(pool, pool_valid, ms.mean, covar0)
+
+    def skip_rg():
+        return RobustGaussianResult(
+            mean=ms.mean * s,
+            covar=covar0,
+            density=ms.confidence,
+            iters=jnp.zeros(N, jnp.int32),
+            reliable=jnp.zeros(N, bool),
+        )
+
+    rg = jax.lax.cond(rg_refine, run_rg, skip_rg)
+    rg_ok = rg.reliable & rg_refine
+    unscale = jnp.concatenate(
+        [jnp.full((3,), 1.0 / meanshift_rvec_scale), jnp.ones((3,))]
+    )
+    covar = (rg.covar / (s * s)) * unscale[:, None] * unscale[None, :]
+    covar = jnp.where(rg_ok[:, None, None], covar, jnp.zeros((6, 6), jnp.float32))
+    mean_scaled = jnp.where(
+        rg_refine,
+        jnp.where(rg.reliable[:, None], rg.mean / s, ms.mean),
+        ms.mean,
+    )
+    pose6_new = jnp.concatenate(
+        [mean_scaled[:, :3] / meanshift_rvec_scale, mean_scaled[:, 3:6]],
+        axis=-1,
+    )
+    density = jnp.where(rg_refine & rg.reliable, rg.density, ms.confidence)
+    success = (
+        (n_points >= 4)
+        & (pose_sample_count > 0)
+        & jnp.all(jnp.isfinite(pose6_new), axis=-1)
+    )
+
+    # truncation policy on the batched outcomes (voldor.cpp:187-194):
+    # the first in-window frame that fails (skipped by the rigidness-density
+    # gate, unsuccessful, or below sample density when truncation is
+    # allowed) cuts the window there; frames up to AND including the cut
+    # frame keep their pose updates when successful, later ones are dropped.
+    idx = jnp.arange(N)
+    in_win = idx < n_flows
+    attempt = in_win & ((~allow_trunc) | (rig_dens > trunc_rigidness_density))
+    dens_new = jnp.where(success & attempt, density, pose_densities)
+    passes = attempt & success & ~(
+        allow_trunc & (dens_new < trunc_sample_density)
+    )
+    fail = in_win & ~passes
+    first_fail = jnp.min(jnp.where(fail, idx, N))
+    n_flows_new = jnp.minimum(jnp.int32(n_flows), first_fail.astype(jnp.int32))
+    truncated = n_flows_new < n_flows
+    apply = in_win & (idx <= first_fail) & attempt & success
+
+    poses6_out = jnp.where(apply[:, None], pose6_new, poses6)
+    covars_out = jnp.where(apply[:, None, None], covar, pose_covars)
+    densities_out = jnp.where(apply, density, pose_densities)
+    counts_out = jnp.where(apply, pose_sample_count, pose_sample_counts)
+    return CameraWindowResult(
+        poses6=poses6_out,
+        pose_covars=covars_out,
+        pose_densities=densities_out,
+        pose_sample_counts=counts_out,
         rigidness_densities=rig_dens,
         n_flows_new=n_flows_new,
         truncated=truncated,
