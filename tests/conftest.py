@@ -38,7 +38,9 @@ _SLOW_TESTS = {
     "test_falign_recovers_relative_pose_geometry_only",
     "test_depth_prior_mode",
     "test_multichip_matches_single_chip",
+    "test_multichip_full_solve_matches_single_chip",
     "test_dryrun_multichip",
+    "test_ap3p_single_exact_recovery",
     "test_stereo_mode_recovers_metric_scale",
     "test_slam_mono_local_links_and_pgo",
     "test_slam_mono_vo_trajectory",

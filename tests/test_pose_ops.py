@@ -303,3 +303,85 @@ def test_closed_form_depth_recovers_scene(rng):
     # interior pixels (borders can leave the image)
     err = np.abs(np.asarray(d_est)[8:-8, 8:-8] - depth[8:-8, 8:-8]) / depth[8:-8, 8:-8]
     assert np.median(err) < 0.02
+
+
+# --------------------------------------------------------------------------
+# AP3P (--lambdatwist 0 backend, solve_batch_ap3p.cu parity)
+# --------------------------------------------------------------------------
+
+
+def test_ap3p_quartic_known_roots():
+    from voldor_tpu.ops import ap3p
+
+    # (x-1)(x+2)(x-3)(x+0.5) = x^4 - 1.5x^3 - 5.5x^2 + 8.5x - 3  ... expand
+    roots_true = np.array([1.0, -2.0, 3.0, -0.5])
+    c = np.poly(roots_true)  # leading-first coefficients
+    r = np.sort(np.asarray(ap3p._solve_quartic(*[jnp.float32(x) for x in c])))
+    np.testing.assert_allclose(r, np.sort(roots_true), atol=1e-3)
+
+
+def test_ap3p_single_exact_recovery(rng):
+    """AP3P must recover exact synthetic instances nearly always (same
+    f32-conditioning caveat as the LambdaTwist test above)."""
+    from voldor_tpu.ops import ap3p
+
+    fx, fy, cx, cy = 400.0, 420.0, 320.0, 240.0
+    n_exact = 0
+    for _ in range(20):
+        pts2, pts3, rvec, tvec = _make_p4p_instance(rng, fx, fy, cx, cy)
+        r, t, ok = ap3p._ap3p_p4p_single(
+            jnp.asarray(pts2), jnp.asarray(pts3), fx, fy, cx, cy
+        )
+        if not bool(ok):
+            continue
+        r, t = np.asarray(r), np.asarray(t)
+        R = np.asarray(lie.so3_exp(jnp.asarray(r)))
+        pc = pts3 @ R.T + t
+        u = fx * pc[:, 0] / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        reproj = np.abs(np.stack([u, v], -1) - pts2).max()
+        if reproj < 1.0:
+            n_exact += 1
+            np.testing.assert_allclose(r, rvec, atol=2e-2)
+            np.testing.assert_allclose(t, tvec, atol=5e-2)
+    assert n_exact >= 16
+
+
+def test_solve_batch_p4p_ap3p(rng):
+    from voldor_tpu.ops import ap3p
+
+    fx, fy, cx, cy = 400.0, 420.0, 320.0, 240.0
+    rvec = np.array([0.05, -0.1, 0.02], np.float32)
+    tvec = np.array([0.3, -0.1, 0.5], np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray(rvec)))
+    M = 600
+    pts3 = rng.uniform(-3, 3, size=(M, 3)).astype(np.float32)
+    pts3[:, 2] = rng.uniform(5, 20, size=M)
+    pc = pts3 @ R.T + tvec
+    pts2 = np.stack(
+        [fx * pc[:, 0] / pc[:, 2] + cx, fy * pc[:, 1] / pc[:, 2] + cy], axis=-1
+    ).astype(np.float32)
+    valid = np.ones(M, bool)
+    valid[500:] = False  # garbage tail must never be sampled
+    pts2[500:] = np.nan
+    pts3[500:] = np.nan
+    rvecs, tvecs, ok = ap3p.solve_batch_p4p_ap3p(
+        jnp.asarray(pts2), jnp.asarray(pts3), jnp.asarray(valid),
+        jax.random.PRNGKey(0), fx, fy, cx, cy, n_poses=256,
+    )
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.9  # exact data: nearly every sample solves
+    err_r = np.linalg.norm(np.asarray(rvecs)[ok] - rvec, axis=1)
+    err_t = np.linalg.norm(np.asarray(tvecs)[ok] - tvec, axis=1)
+    assert np.median(err_r) < 5e-3, np.median(err_r)
+    assert np.median(err_t) < 2e-2, np.median(err_t)
+
+
+def test_minimal_solver_registry():
+    from voldor_tpu.ops import ap3p
+    from voldor_tpu.vo.pose_step import _get_batch_p4p
+
+    assert _get_batch_p4p("lambdatwist") is p3p.solve_batch_p4p
+    assert _get_batch_p4p("ap3p") is ap3p.solve_batch_p4p_ap3p
+    with pytest.raises(ValueError):
+        _get_batch_p4p("nope")

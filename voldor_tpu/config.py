@@ -57,7 +57,7 @@ class VoldorConfig:
 
     # --- pose sampling (config.h:42-50) ---
     cpu_p3p: int = 0  # accepted for compat; P3P always runs on device
-    lambdatwist: int = 1  # 1 = LambdaTwist P3P (default), 0 = alternative solver
+    lambdatwist: int = 1  # 1 = LambdaTwist P3P (default), 0 = AP3P (ops/ap3p.py)
     n_poses_to_sample: int = 8192
     pose_sample_min_depth: float = 0.1
     pose_sample_max_depth: float = 1000.0
@@ -108,9 +108,13 @@ class VoldorConfig:
     # 'jump'  : jump-flooding local propagation (parallel, TPU-friendly)
     # 'exact' : bit-faithful sequential chunk scan (slow; for parity tests)
     depth_local_prop_mode: str = "jump"
-    # 'tracked'   : gather-free observed-track PatchMatch cost (fast path)
+    # 'anchored'  : gather-free cost against track planes re-anchored every
+    #               round along the current depth's projected chain (shares
+    #               the chain trace with the rigidness refresh; accuracy of
+    #               'projected' at the speed of 'tracked' — docs/ACCURACY_AB)
+    # 'tracked'   : gather-free cost against frame-0 observed tracks
     # 'projected' : reference-exact candidate-dependent tracing
-    depth_cost_mode: str = "tracked"
+    depth_cost_mode: str = "anchored"
     # Fused Pallas kernel for batched candidate-cost evaluation:
     # 'auto' = on TPU backends, 'on', 'off'. (~190x over the XLA-fused
     # equivalent on v5e; requires depth_cost_mode == 'tracked'.)
@@ -125,7 +129,22 @@ class VoldorConfig:
     #            frame i genuinely needs frame i-1's estimate), jacobi on
     #            iterations 2+ (poses only drift). Accuracy A/B on the
     #            degraded harness: tests/test_degraded.py + docs/ACCURACY_AB.
-    pose_window_sweep: str = "seq"
+    # Default 'hybrid': with collect_mode 'obs' + cost 'anchored' it is both
+    # faster AND more accurate than the sequential reference schedule on the
+    # Fisk-degraded pipeline (ate/extent 3.1% vs 9.7%; docs/ACCURACY_AB).
+    pose_window_sweep: str = "hybrid"
+    # P3P correspondence source for the batched (jacobi) sweep:
+    # 'traced' : reference-exact per-candidate trace (flow gathers dominate)
+    # 'obs'    : hoisted/re-anchored track positions (gather-free; same
+    #            fixed point — see collect_p3p_instances_obs)
+    pose_collect_mode: str = "obs"
+    # Host->device transfer precision for the bulky per-window inputs
+    # (flows in f16, depth priors in bf16 — wide range, depth can exceed
+    # f16's 65504): halves the tunnel upload time (~55ms/window on axon).
+    # Quantization error (<=0.05px at 100px flows; <=0.4% prior depth) sits
+    # well below the Fisk noise floor; compute stays f32 on device.
+    # 'float32' uploads everything exact.
+    transfer_dtype: str = "float16"
     # PRNG seed for pose sampling / depth proposals (reference RAND_SEED 233,
     # optimize_depth.cu:8 / collect_p3p_instances.cu:6).
     seed: int = 233

@@ -32,7 +32,15 @@ from voldor_tpu.ops import fisk
 
 def _cost_kernel(params_ref, poses_ref, depth_ref, tx_ref, ty_ref,
                  obx_ref, oby_ref, rig_ref, inb_ref, xs_ref, ys_ref,
-                 cost_ref, wsum_ref):
+                 *rest):
+    # rest = ([pposes, ptgt, pwgt,] cost_ref, wsum_ref) — inputs precede
+    # outputs in the pallas calling convention
+    if len(rest) == 5:
+        prior_refs = rest[:3]
+        cost_ref, wsum_ref = rest[3:]
+    else:
+        prior_refs = ()
+        cost_ref, wsum_ref = rest
     fx = params_ref[0]
     fy = params_ref[1]
     cx = params_ref[2]
@@ -51,6 +59,30 @@ def _cost_kernel(params_ref, poses_ref, depth_ref, tx_ref, ty_ref,
     N = tx_ref.shape[0]
     cost = jnp.zeros_like(depth)
     wsum = jnp.zeros_like(depth)
+
+    # depth-prior arm (optimize_depth.cu:172-191), fused: frame-0 points
+    # projected into each prior camera, Fisk disparity-space NLL against the
+    # round-start sampled prior planes.
+    if prior_refs:
+        pposes_ref, ptgt_ref, pwgt_ref = prior_refs
+        bf = params_ref[7]
+        omega = params_ref[8]
+        for d in range(ptgt_ref.shape[0]):
+            r20 = pposes_ref[d, 6]
+            r21 = pposes_ref[d, 7]
+            r22 = pposes_ref[d, 8]
+            t2 = pposes_ref[d, 11]
+            nz = r20 * ox + r21 * oy + r22 * oz + t2
+            tgt = ptgt_ref[d]
+            wgt = pwgt_ref[d]
+            use = (nz > 0) & (tgt > 0) & (wgt > 0)
+            r = fisk.depth_rigidness(
+                jnp.maximum(nz, 1e-12), jnp.maximum(tgt, 1e-12),
+                bf, omega, arf,
+            )
+            cost = cost + jnp.where(use, -wgt * jnp.log(jnp.maximum(r, 1e-30)), 0.0)
+            wsum = wsum + jnp.where(use, wgt, 0.0)
+
     for f in range(N):  # N is small and static: unrolled
         r0 = poses_ref[f, 0]
         r1 = poses_ref[f, 1]
@@ -93,37 +125,39 @@ def cost_map_tracked_pallas(
     ts,  # (N, 3)
     active_n,  # scalar
     p,  # EmParams
+    prior_samples=None,  # None or (target (D,h,w), weight (D,h,w), dp_Rs, dp_ts)
     tile_h: int = 8,
     interpret: bool = False,
 ):
-    """Raw (cost_sum, weight_sum) of the flow arm, each (K, h, w).
+    """Raw (cost_sum, weight_sum) of the flow (+ fused prior) arm, (K, h, w).
 
-    Prior-arm terms (candidate-dependent but cheap/elementwise) are computed
-    in XLA by the caller and combined as
-    (cost_sum + prior_cost) / (weight_sum + prior_weight). The input width
-    is padded to the 128-lane boundary internally.
+    prior_samples: em.precompute_prior_samples output — the prior arm runs
+    inside the kernel (it was an XLA vmap per candidate before, ~100ms per
+    prior-fed window solve). The input width is padded to the 128-lane
+    boundary internally.
     """
     tx, ty, obx, oby = track
     K, h, w = candidates.shape
     N = tx.shape[0]
     w_pad = (-w) % 128
     h_pad = (-h) % tile_h
-    if w_pad or h_pad:
-        def padhw(a):
-            return jnp.pad(
-                a, [(0, 0)] * (a.ndim - 2) + [(0, h_pad), (0, w_pad)]
-            )
-        candidates = padhw(candidates)
-        tx, ty, obx, oby = padhw(tx), padhw(ty), padhw(obx), padhw(oby)
-        rigidness = padhw(rigidness)
-        track_inb = padhw(track_inb)
+
+    def padhw(a):
+        if not (w_pad or h_pad):
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, h_pad), (0, w_pad)])
+
+    candidates = padhw(candidates)
+    tx, ty, obx, oby = padhw(tx), padhw(ty), padhw(obx), padhw(oby)
+    rigidness = padhw(rigidness)
+    track_inb = padhw(track_inb)
     wp = w + w_pad
     hp = h + h_pad
     grid = (K, hp // tile_h)
 
     params = jnp.asarray(
         [p.fx, p.fy, p.cx, p.cy, p.lam, p.abs_resize_factor,
-         jnp.float32(active_n)],
+         jnp.float32(active_n), p.basefocal, p.omega],
         jnp.float32,
     )
     poses = jnp.concatenate(
@@ -140,23 +174,42 @@ def cost_map_tracked_pallas(
     cand_spec = pl.BlockSpec(
         (1, tile_h, wp), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM
     )
-    grid_spec = pl.GridSpec(
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
-            cand_spec,  # depth candidates
-            frame_spec,  # tx
-            frame_spec,  # ty
-            frame_spec,  # obx
-            frame_spec,  # oby
-            frame_spec,  # rigidness
-            frame_spec,  # inb
-            pl.BlockSpec((1, tile_h, wp), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, wp), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(cand_spec, cand_spec),
+    plane_spec = pl.BlockSpec(
+        (1, tile_h, wp), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
+        cand_spec,  # depth candidates
+        frame_spec,  # tx
+        frame_spec,  # ty
+        frame_spec,  # obx
+        frame_spec,  # oby
+        frame_spec,  # rigidness
+        frame_spec,  # inb
+        plane_spec,  # xs
+        plane_spec,  # ys
+    ]
+    operands = [params, poses, candidates, tx, ty, obx, oby, rigidness, inb,
+                xs, ys]
+    if prior_samples is not None and prior_samples[0].shape[0] > 0:
+        ptgt, pwgt, dp_Rs, dp_ts = prior_samples
+        D = ptgt.shape[0]
+        pposes = jnp.concatenate(
+            [dp_Rs.reshape(D, 9), dp_ts.reshape(D, 3)], axis=-1
+        ).astype(jnp.float32)
+        dprior_spec = pl.BlockSpec(
+            (D, tile_h, wp), lambda k, i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # prior poses
+            dprior_spec,  # prior targets
+            dprior_spec,  # prior weights
+        ]
+        operands += [pposes, padhw(ptgt), padhw(pwgt)]
+
+    grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs,
+                            out_specs=(cand_spec, cand_spec))
     cost, wsum = pl.pallas_call(
         _cost_kernel,
         out_shape=(
@@ -165,7 +218,7 @@ def cost_map_tracked_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(params, poses, candidates, tx, ty, obx, oby, rigidness, inb, xs, ys)
+    )(*operands)
     return cost[:, :h, :w], wsum[:, :h, :w]
 
 

@@ -10,9 +10,11 @@ add are:
     chip solves its slice of minimal problems, and meanshift / robust-
     Gaussian reductions become cross-chip psums automatically.
 
-Both axes ride on one jit with NamedSharding annotations — no hand-written
-collectives. `multichip_em_step` is the "full training step" analog: one
-camera-pose step followed by one depth/rigidness round.
+Both axes ride on one jit with NamedSharding annotations (+ shard_hints on
+the hypothesis pools, parallel/hints.py) — no hand-written collectives.
+`multichip_solve` runs the engine's FULL fused solve loop over the mesh;
+`multichip_em_step` is the single-EM-step variant kept for fine-grained
+consistency tests.
 """
 
 from __future__ import annotations
@@ -25,8 +27,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from voldor_tpu.config import VoldorConfig
+from voldor_tpu.parallel.hints import active_mesh
 from voldor_tpu.vo import em
-from voldor_tpu.vo.engine import _depth_round
+from voldor_tpu.vo.engine import _depth_round, _get_solve_fn
 from voldor_tpu.vo.pose_step import optimize_camera_pose
 
 
@@ -35,6 +38,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_mesh_2d(n_sp: int, n_hyp: int) -> Mesh:
+    """2-D mesh: pixel rows shard over `sp`, P4P hypotheses over `hyp`."""
+    devs = jax.devices()[: n_sp * n_hyp]
+    return Mesh(np.asarray(devs).reshape(n_sp, n_hyp), ("sp", "hyp"))
 
 
 def shard_window(mesh: Mesh, flows, rigidness, depth):
@@ -47,6 +56,49 @@ def shard_window(mesh: Mesh, flows, rigidness, depth):
         jax.device_put(rigidness, s_rig),
         jax.device_put(depth, s_depth),
     )
+
+
+def multichip_solve(
+    mesh: Mesh, cfg: VoldorConfig, flows, depth, poses6, seed=None
+):
+    """The FULL fused EM solve (engine._get_solve_fn's while_loop — camera
+    sweeps with truncation, depth rounds, gauge normalization) executed over
+    a device mesh.
+
+    Maps shard across the mesh's `sp` (row) axis; on a 2-D `sp`×`hyp` mesh
+    the P4P hypothesis pools additionally partition across `hyp`
+    (pose_step shard_hints). Inputs are numpy/jnp on host or any device;
+    returns the engine state dict (depth, rigidness, poses6, covars, ...)
+    with mesh shardings. Single-chip semantics are identical — the driver
+    dryrun and tests/test_multichip.py compare the two."""
+    import jax.numpy as jnp
+
+    N, h, w = flows.shape[:3]
+    fn = _get_solve_fn(cfg, has_disparity=False, use_priors=False)
+
+    s_maps = NamedSharding(mesh, P(None, "sp", None))  # (N, h, w)
+    s_flows = NamedSharding(mesh, P(None, "sp", None, None))
+    s_depth = NamedSharding(mesh, P("sp", None))
+    rep = NamedSharding(mesh, P())
+
+    flows = jax.device_put(jnp.asarray(flows), s_flows)
+    depth = jax.device_put(jnp.asarray(depth), s_depth)
+    rigidness = jax.device_put(jnp.ones((N, h, w), jnp.float32), s_maps)
+    z0 = jax.device_put(jnp.zeros((0, h, w), jnp.float32), rep)
+    zp = jax.device_put(jnp.zeros((0, 6), jnp.float32), rep)
+    poses6 = jax.device_put(jnp.asarray(poses6, jnp.float32), rep)
+    covars = jax.device_put(jnp.zeros((N, 6, 6), jnp.float32), rep)
+    dens = jax.device_put(jnp.zeros(N, jnp.float32), rep)
+    counts = jax.device_put(jnp.zeros(N, jnp.int32), rep)
+
+    with active_mesh(mesh):
+        st = fn(
+            depth, flows, rigidness, z0, z0, z0, zp,
+            poses6, covars, dens, counts,
+            np.int32(N), np.uint32(cfg.seed if seed is None else seed),
+        )
+    jax.block_until_ready(st)
+    return st
 
 
 def multichip_em_step(mesh: Mesh, cfg: VoldorConfig, flows, rigidness, depth, poses6):
@@ -105,6 +157,6 @@ def multichip_em_step(mesh: Mesh, cfg: VoldorConfig, flows, rigidness, depth, po
         rig_only=False,
         use_flows=True,
         use_priors=False,
-        tracked=cfg.depth_cost_mode == "tracked",
+        tracked=cfg.depth_cost_mode in ("tracked", "anchored"),
     )
     return res.poses6, res.pose_covars, depth, rigidness

@@ -6,6 +6,7 @@ Same signature, shapes and return dict as the reference Cython binding
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from voldor_tpu.config import VoldorConfig
@@ -62,15 +63,30 @@ def voldor(
     engine.solve()
 
     n = min(engine.n_flows, n_true)
+    # ONE batched device->host transfer: each separate np.asarray costs a
+    # full tunnel round trip (~30ms each on the remote-TPU platform).
+    from voldor_tpu.vo.engine import _depth_confidence_jit
+
+    fetch = [
+        engine.poses6[:n],
+        engine.pose_covars[:n],
+        engine.depth,
+        _depth_confidence_jit(
+            engine.rigidness, engine.dp_confs, np.int32(engine.n_flows)
+        ),
+    ]
+    if cfg.save_everything:
+        fetch.append(engine.rigidness[:n_true])
+    host = jax.device_get(fetch)
     ret = {
         "n_registered": n,
-        "poses": np.asarray(engine.poses[:n], np.float32),
-        "poses_covar": np.asarray(engine.pose_covars[:n], np.float32),
-        "depth": np.asarray(engine.depth, np.float32),
-        "depth_conf": engine.depth_confidence(),
+        "poses": np.asarray(host[0], np.float32),
+        "poses_covar": np.asarray(host[1], np.float32),
+        "depth": np.asarray(host[2], np.float32),
+        "depth_conf": np.asarray(host[3], np.float32),
     }
     if cfg.save_everything:
         # extra diagnostics (the reference dumps these to disk instead,
         # voldor.cpp:352-376): per-frame rigidness maps of the whole window.
-        ret["rigidness"] = np.asarray(engine.rigidness[:n_true], np.float32)
+        ret["rigidness"] = np.asarray(host[4], np.float32)
     return ret

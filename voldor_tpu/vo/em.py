@@ -96,13 +96,15 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
     """Walk a frame-0 point through the window (scan over frames).
 
     For each frame f returns the rigid flow (px2-px1, py2-py1), the observed
-    flow sampled at the traced position, and the in-bounds mask — the shared
-    computation of update_rigidnesses (optimize_depth.cu:84-116) and
-    compute_pixel_cost (optimize_depth.cu:140-169).
+    flow sampled at the traced position, the in-bounds mask, and the traced
+    position itself — the shared computation of update_rigidnesses
+    (optimize_depth.cu:84-116) and compute_pixel_cost
+    (optimize_depth.cu:140-169); the positions double as the 'anchored'
+    cost/collect track planes.
 
     depth: (h, w); flows: (N, h, w, 2); Rs: (N, 3, 3); ts: (N, 3).
-    Returns component arrays (rigid_x, rigid_y, obs_x, obs_y: (N, h, w)
-    each, inb (N, h, w)) — separate x/y planes keep the VPU lanes full (see
+    Returns component arrays (rigid_x, rigid_y, obs_x, obs_y, inb, px1, py1:
+    (N, h, w) each) — separate x/y planes keep the VPU lanes full (see
     fisk.rigidness_xy).
     """
     h, w = depth.shape
@@ -125,7 +127,7 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
             lambda: bilinear_sample(flow, px1, py1),
             lambda: jnp.zeros(px1.shape + (2,), flow.dtype),
         )
-        out = (px2 - px1, py2 - py1, obs[..., 0], obs[..., 1], inb)
+        out = (px2 - px1, py2 - py1, obs[..., 0], obs[..., 1], inb, px1, py1)
         # Carry: traced position advances only when in-bounds
         # (optimize_depth.cu:107 updates px1 only in the valid branch).
         px1n = jnp.where(inb, px2, px1)
@@ -134,10 +136,10 @@ def chain_flow_terms(depth, flows, Rs, ts, active_n, p: EmParams):
 
     N = flows.shape[0]
     active = jnp.arange(N) < active_n
-    _, (rigid_x, rigid_y, obs_x, obs_y, inb) = jax.lax.scan(
+    _, outs = jax.lax.scan(
         step, (ox, oy, oz, xs, ys), (Rs, ts, flows, active)
     )
-    return rigid_x, rigid_y, obs_x, obs_y, inb
+    return outs
 
 
 def prior_terms(depth, priors, dp_Rs, dp_ts, p: EmParams):
@@ -307,22 +309,42 @@ def precompute_prior_samples(
     """
     oz, px, py, inb = prior_terms(depth, priors, dp_Rs, dp_ts, p)
     target = jax.vmap(bilinear_sample)(priors, px, py)
-    pconf = jax.vmap(bilinear_sample)(dp_pconfs, px, py)
-    conf = jax.vmap(bilinear_sample)(dp_confs, px, py)
+    # sample the premultiplied confidence product (one gather instead of
+    # two; bilinear-of-product vs product-of-bilinears differs only at
+    # confidence edges, well inside the model's tolerance)
+    cw = jax.vmap(bilinear_sample)(dp_pconfs * dp_confs, px, py)
     D = priors.shape[0]
     slot_w = jnp.where(
         (p.disp_delta > 0) & (jnp.arange(D) == 0), p.disp_delta, p.delta
     )[:, None, None]
-    weight = jnp.where(inb, pconf * conf * slot_w, 0.0)
+    weight = jnp.where(inb, cw * slot_w, 0.0)
     target = jnp.where(inb, target, 0.0)
     return target, weight, dp_Rs, dp_ts
 
 
 def update_rigidness(depth, flows, Rs, ts, active_n, p: EmParams):
     """Recompute the per-frame rigidness maps (optimize_depth.cu:84-116)."""
-    rx, ry, obx, oby, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
+    rx, ry, obx, oby, inb, _, _ = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
     r = fisk.rigidness_xy(rx, ry, obx, oby, p.lam, p.abs_resize_factor)
     return jnp.where(inb, r, 0.0)
+
+
+def update_rigidness_and_tracks(depth, flows, Rs, ts, active_n, p: EmParams):
+    """Rigidness refresh + 'anchored' track planes from ONE chain trace.
+
+    The anchored cost/collect mode scores the NEXT round's candidates
+    against the observed flow sampled along the CURRENT depth's projected
+    chain — the reference's per-candidate re-trace
+    (optimize_depth.cu:150-161) frozen at the round boundary. Returns
+    (rigidness, (track_x, track_y, obs_x, obs_y), track_inb) with the same
+    plane layout precompute_obs_tracks produces, so every downstream
+    consumer (XLA + Pallas cost, obs collect) is shared.
+    """
+    rx, ry, obx, oby, inb, px1, py1 = chain_flow_terms(
+        depth, flows, Rs, ts, active_n, p
+    )
+    r = fisk.rigidness_xy(rx, ry, obx, oby, p.lam, p.abs_resize_factor)
+    return jnp.where(inb, r, 0.0), (px1, py1, obx, oby), inb
 
 
 def update_prior_confs(depth, priors, dp_confs, dp_Rs, dp_ts, p: EmParams):
@@ -363,7 +385,7 @@ def compute_cost_map(
     wsum = jnp.zeros((h, w), jnp.float32)
 
     if flows is not None and flows.shape[0] > 0:
-        rx, ry, obx, oby, inb = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
+        rx, ry, obx, oby, inb, _, _ = chain_flow_terms(depth, flows, Rs, ts, active_n, p)
         r = fisk.rigidness_xy(rx, ry, obx, oby, p.lam, p.abs_resize_factor)
         c = -rigidness * jnp.log(jnp.maximum(r, 1e-30))
         cost = cost + jnp.sum(jnp.where(inb, c, 0.0), axis=0)

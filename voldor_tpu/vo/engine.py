@@ -60,16 +60,21 @@ def _depth_round_core(
     use_priors,
     tracked,
     use_pallas=False,
+    anchored=False,
     obs_track=None,
     obs_tinb=None,
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
     FB-smoothing of the weights, proposal rounds, then rigidness refresh.
 
-    obs_track/obs_tinb: precomputed em.precompute_obs_tracks result for the
-    current active_n (the fused solve hoists it out of the EM loop — tracks
-    depend only on flows + active_n and recomputing them each iteration was
-    ~1/3 of the depth round's cost)."""
+    obs_track/obs_tinb: precomputed track planes — em.precompute_obs_tracks
+    (mode 'tracked': frame-0-anchored observed tracks, constant per solve)
+    or the previous round's em.update_rigidness_and_tracks output (mode
+    'anchored': re-anchored along the current depth's projected chain each
+    round, sharing the chain trace with the rigidness refresh — same cost
+    as 'tracked', accuracy of the reference's per-candidate re-trace up to
+    one round of lag). When anchored, returns
+    (depth, rigidness, dp_confs, track, tinb) instead of the 3-tuple."""
     from voldor_tpu.vo.pose_step import _as_key
 
     key = _as_key(seed)
@@ -92,6 +97,12 @@ def _depth_round_core(
             if use_flows:
                 if obs_track is not None:
                     track, tinb = obs_track, obs_tinb
+                elif anchored:
+                    # standalone (stepwise) anchored call: anchor at the
+                    # round-start depth/poses
+                    _, track, tinb = em.update_rigidness_and_tracks(
+                        depth, flows, Rs, ts, active_n, params
+                    )
                 else:
                     track, tinb = em.precompute_obs_tracks(flows, active_n, params)
             pr_samples = None
@@ -114,14 +125,10 @@ def _depth_round_core(
 
                 def batch_cost_fn(cands):
                     cs, ws = cost_map_tracked_pallas(
-                        cands, track, tinb, rigidness, Rs, ts, active_n, params
+                        cands, track, tinb, rigidness, Rs, ts, active_n,
+                        params,
+                        prior_samples=pr_samples if use_priors else None,
                     )
-                    if use_priors:
-                        pc, pw = jax.vmap(
-                            lambda c: em.prior_cost_sums(c, pr_samples, params)
-                        )(cands)
-                        cs = cs + pc
-                        ws = ws + pw
                     return normalize_cost(cs, ws)
 
         else:
@@ -155,16 +162,26 @@ def _depth_round_core(
                 cost_fn=cost_fn,
             )
 
+    track_out = tinb_out = None
     if use_flows:
-        rigidness = em.update_rigidness(depth, flows, Rs, ts, active_n, params)
+        if anchored:
+            rigidness, track_out, tinb_out = em.update_rigidness_and_tracks(
+                depth, flows, Rs, ts, active_n, params
+            )
+        else:
+            rigidness = em.update_rigidness(depth, flows, Rs, ts, active_n, params)
     if use_priors:
         dp_confs = em.update_prior_confs(depth, priors, dp_confs, dp_Rs, dp_ts, params)
+    if anchored:
+        if track_out is None:  # e.g. prior-only rounds: keep the old planes
+            track_out, tinb_out = obs_track, obs_tinb
+        return depth, rigidness, dp_confs, track_out, tinb_out
     return depth, rigidness, dp_confs
 
 
 _DEPTH_STATIC = (
     "n_rand", "gstep", "lwidth", "mode", "fb", "rig_only", "use_flows",
-    "use_priors", "tracked", "use_pallas",
+    "use_priors", "tracked", "use_pallas", "anchored",
 )
 
 
@@ -207,8 +224,22 @@ def _normalize_world_scale(poses6, depth, active_n):
     return poses6, depth * s
 
 
+def _put_f16(arr) -> jax.Array:
+    """Upload via f16 (half the tunnel bytes), restore f32 on device."""
+    return jnp.asarray(np.asarray(arr, np.float16)).astype(jnp.float32)
+
+
+def _put_bf16(arr) -> jax.Array:
+    """Upload via bf16 (f32 range, 8-bit mantissa) for wide-range maps."""
+    import ml_dtypes
+
+    return jnp.asarray(
+        np.asarray(arr, np.float32).astype(ml_dtypes.bfloat16)
+    ).astype(jnp.float32)
+
+
 def _resolve_use_pallas(cfg: VoldorConfig) -> bool:
-    if cfg.depth_cost_mode != "tracked":
+    if cfg.depth_cost_mode not in ("tracked", "anchored"):
         return False
     if cfg.use_pallas_cost == "on":
         return True
@@ -254,6 +285,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         rg_pose_scaling=cfg.rg_pose_scaling,
         rg_epsilon=cfg.rg_epsilon,
         rg_max_iters=cfg.rg_max_iters,
+        minimal_solver="lambdatwist" if cfg.lambdatwist else "ap3p",
     )
     depth_kw = dict(
         n_rand=cfg.depth_rand_samples,
@@ -264,8 +296,9 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         rig_only=not cfg.optimize_depth,
         use_flows=True,
         use_priors=use_priors,
-        tracked=cfg.depth_cost_mode == "tracked",
+        tracked=cfg.depth_cost_mode in ("tracked", "anchored"),
         use_pallas=_resolve_use_pallas(cfg),
+        anchored=cfg.depth_cost_mode == "anchored",
     )
 
     @jax.jit
@@ -283,7 +316,13 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         # frame f only depend on frames < f, so values are identical for
         # every frame that stays active after truncation).
         obs_track = obs_tinb = None
-        if depth_kw["tracked"] and not depth_kw["rig_only"]:
+        anchored = depth_kw["anchored"]
+        need_tracks = (
+            (depth_kw["tracked"] and not depth_kw["rig_only"])
+            or anchored
+            or cfg.pose_collect_mode == "obs"
+        )
+        if need_tracks:
             obs_track, obs_tinb = em.precompute_obs_tracks(
                 flows, jnp.int32(n_flows0), params
             )
@@ -310,10 +349,27 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 trunc_sample_density=cfg.trunc_sample_density,
                 **pose_hp,
             )
+            # The obs (gather-free) collect is only sound once rigidness
+            # maps are informative — its tracks are frame-0 anchored and
+            # gate early-track corruption through cumulative rigidness,
+            # which is all-ones on EM iteration 1. The seq sweep therefore
+            # always uses the traced collect (it is also the sweep hybrid
+            # runs on iteration 1).
+            # in anchored mode the sweep's obs-collect consumes the
+            # re-anchored planes carried in the loop state (refreshed by
+            # every depth round), not the frame-0 observed tracks
+            cur_track = st["track"] if anchored else obs_track
+            cur_tinb = st["tinb"] if anchored else obs_tinb
+            jac_kw = dict(
+                collect_mode=cfg.pose_collect_mode,
+                obs_track=cur_track,
+                obs_tinb=cur_tinb,
+                **sweep_kw,
+            )
             if cfg.pose_window_sweep == "seq":
                 cam = _cameras_window_core(*sweep_args, **sweep_kw)
             elif cfg.pose_window_sweep == "jacobi":
-                cam = _cameras_window_jacobi_core(*sweep_args, **sweep_kw)
+                cam = _cameras_window_jacobi_core(*sweep_args, **jac_kw)
             elif cfg.pose_window_sweep == "hybrid":
                 # EM iteration 1 must run the sequential Gauss-Seidel sweep
                 # (frame i's chain needs frame i-1's fresh estimate while the
@@ -322,7 +378,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 cam = jax.lax.cond(
                     iters_cur == 1,
                     lambda: _cameras_window_core(*sweep_args, **sweep_kw),
-                    lambda: _cameras_window_jacobi_core(*sweep_args, **sweep_kw),
+                    lambda: _cameras_window_jacobi_core(*sweep_args, **jac_kw),
                 )
             else:
                 raise ValueError(
@@ -334,22 +390,26 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 jnp.maximum(iters_remain, cfg.min_iters_after_trunc),
                 iters_remain,
             )
-            depth_, rigidness_, dp_confs_ = _depth_round_core(
+            dr = _depth_round_core(
                 st["depth"], flows, st["rigidness"], cam.poses6,
                 priors, dp_pconfs, st["dp_confs"], dp_poses6,
                 n_flows, params,
                 jax.random.fold_in(base, 1000 + iters_cur),
                 jnp.float32(cfg.fb_emm), jnp.float32(cfg.fb_no_change_prob),
                 jnp.float32(cfg.depth_range_factor),
-                obs_track=obs_track, obs_tinb=obs_tinb,
+                obs_track=cur_track, obs_tinb=cur_tinb,
                 **depth_kw,
             )
+            if anchored:
+                depth_, rigidness_, dp_confs_, track_, tinb_ = dr
+            else:
+                depth_, rigidness_, dp_confs_ = dr
             poses6_ = cam.poses6
             if cfg.norm_world_scale and not use_priors:
                 poses6_, depth_ = _normalize_world_scale_pure(
                     poses6_, depth_, n_flows
                 )
-            return dict(
+            st_new = dict(
                 depth=depth_, rigidness=rigidness_, dp_confs=dp_confs_,
                 poses6=poses6_, covars=cam.pose_covars,
                 densities=cam.pose_densities, counts=cam.pose_sample_counts,
@@ -357,6 +417,10 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 iters_remain=iters_remain,
                 rig_dens=cam.rigidness_densities,
             )
+            if anchored:
+                st_new["track"] = track_
+                st_new["tinb"] = tinb_
+            return st_new
 
         st0 = dict(
             depth=depth, rigidness=rigidness, dp_confs=dp_confs,
@@ -365,6 +429,13 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
             iters_remain=jnp.int32(cfg.max_iters),
             rig_dens=jnp.zeros(flows.shape[0], jnp.float32),
         )
+        if anchored:
+            # round 1 scores against the frame-0 observed tracks (poses are
+            # not yet solved, so a projected-chain anchor is uninformative);
+            # every later round uses the re-anchored planes from the
+            # previous rigidness refresh.
+            st0["track"] = obs_track
+            st0["tinb"] = obs_tinb
         return jax.lax.while_loop(cond, body, st0)
 
     _SOLVE_FN_CACHE[key] = solve_fn
@@ -481,7 +552,8 @@ class VoldorEngine:
         D = len(prior_list)
         self.n_depth_priors = D
 
-        self.flows = jnp.asarray(flows)
+        compress = cfg.transfer_dtype == "float16"
+        self.flows = _put_f16(flows) if compress else jnp.asarray(flows)
         self.rigidness = jnp.ones((N, h, w), jnp.float32)
         self.poses6 = jnp.zeros((N, 6), jnp.float32)
         self.pose_covars = jnp.zeros((N, 6, 6), jnp.float32)
@@ -490,8 +562,12 @@ class VoldorEngine:
         self.pose_rigidness_densities = np.zeros(N, np.float32)
 
         if D > 0:
-            self.priors = jnp.asarray(np.stack(prior_list))
-            self.dp_pconfs = jnp.asarray(np.stack(prior_pconf_list))
+            if compress:
+                self.priors = _put_bf16(np.stack(prior_list))
+                self.dp_pconfs = _put_f16(np.stack(prior_pconf_list))
+            else:
+                self.priors = jnp.asarray(np.stack(prior_list))
+                self.dp_pconfs = jnp.asarray(np.stack(prior_pconf_list))
             self.dp_confs = jnp.ones((D, h, w), jnp.float32)
             self.dp_poses6 = jnp.asarray(np.stack(prior_pose_list))
             self.depth = self.priors[0]
@@ -513,14 +589,50 @@ class VoldorEngine:
 
     # ------------------------------------------------------------------
     def bootstrap(self):
-        """Monocular two-frame init (voldor.cpp:151-162)."""
+        """Monocular two-frame init (voldor.cpp:151-162).
+
+        Like the reference (estimate_camera_pose_epipolar,
+        geometry.cpp:288-332), the essential-matrix fit runs on the HOST via
+        OpenCV's 5-point LMedS when cv2 is importable — the 5-point minimal
+        solver is far less noise-amplifying than any 8-point pipeline
+        (measured 0.8 deg vs 3.8 deg rotation error at the Fisk-calibrated
+        noise level), and this runs once per sequence. Fallback: the
+        TPU-native batched 8-point LMedS + IRLS polish (ops/epipolar.py).
+        The closed-form depth stays on device either way.
+        """
         cfg = self.cfg
         K = jnp.asarray(
             [[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1]], jnp.float32
         )
-        R, t, _ = epipolar.estimate_pose_epipolar(
-            self.flows[0], K, jax.random.PRNGKey(int(self._next_seed()))
-        )
+        R = t = None
+        try:
+            import cv2
+
+            # LMedS samples through cv2's global RNG; seed it so window-0
+            # bootstraps are reproducible (bootstrap variance otherwise
+            # dominates run-to-run accuracy spread on noisy flow).
+            cv2.setRNGSeed(int(cfg.seed))
+            flow0 = np.asarray(self.flows[0])
+            h, w = flow0.shape[:2]
+            # ~8k correspondences: LMedS runtime is superlinear in points
+            # (113k points cost ~1.7s host-side; 8k are statistically ample)
+            step = max(1, round((h * w / 8000.0) ** 0.5))
+            ys, xs = np.mgrid[0:h:step, 0:w:step]
+            p1 = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float64)
+            p2 = p1 + flow0[::step, ::step].reshape(-1, 2).astype(np.float64)
+            K_np = np.asarray(K, np.float64)
+            E, mask = cv2.findEssentialMat(p1, p2, K_np, method=cv2.LMEDS)
+            if E is not None and E.shape == (3, 3):
+                _, R_cv, t_cv, _ = cv2.recoverPose(E, p1, p2, K_np, mask=mask)
+                R = jnp.asarray(R_cv, jnp.float32)
+                # reference convention quirk t <- R t (geometry.cpp:330)
+                t = R @ jnp.asarray(t_cv.ravel(), jnp.float32)
+        except ImportError:
+            pass
+        if R is None:
+            R, t, _ = epipolar.estimate_pose_epipolar(
+                self.flows[0], K, jax.random.PRNGKey(int(self._next_seed()))
+            )
         self.depth = epipolar.estimate_depth_closed_form(self.flows[0], K, R, t)
         pose0 = jnp.concatenate([lie.so3_log(R), t])
         self.poses6 = self.poses6.at[0].set(pose0)
@@ -650,7 +762,8 @@ class VoldorEngine:
         use_priors = self.n_depth_priors > 0
         if not use_flows and not use_priors:
             return
-        self.depth, self.rigidness, self.dp_confs = _depth_round(
+        anchored = cfg.depth_cost_mode == "anchored"
+        ret = _depth_round(
             self.depth,
             self.flows,
             self.rigidness,
@@ -673,9 +786,14 @@ class VoldorEngine:
             rig_only=rigidness_only,
             use_flows=use_flows,
             use_priors=use_priors,
-            tracked=cfg.depth_cost_mode == "tracked",
+            tracked=cfg.depth_cost_mode in ("tracked", "anchored"),
             use_pallas=_resolve_use_pallas(cfg),
+            anchored=anchored,
         )
+        if anchored:
+            self.depth, self.rigidness, self.dp_confs = ret[:3]
+        else:
+            self.depth, self.rigidness, self.dp_confs = ret
 
     # ------------------------------------------------------------------
     @property

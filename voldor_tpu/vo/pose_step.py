@@ -15,7 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from voldor_tpu.ops import lie, p3p
+from voldor_tpu.ops import ap3p, lie, p3p
+from voldor_tpu.parallel.hints import shard_hint
 from voldor_tpu.ops.image import bilinear_sample
 from voldor_tpu.ops.meanshift import meanshift
 from voldor_tpu.ops.robust_gaussian import RobustGaussianResult, fit_robust_gaussian
@@ -286,6 +287,124 @@ def collect_p3p_instances_all(
     return p2, p3, valid
 
 
+def collect_p3p_instances_obs(
+    depth,
+    obs_track,
+    obs_tinb,
+    rigidness,
+    Rs,
+    ts,
+    active_n,
+    p: EmParams,
+    *,
+    rigidness_threshold,
+    rigidness_sum_threshold,
+    sample_min_depth,
+    sample_max_depth,
+    max_trace_on_flow: int,
+    sample_stride: int = 1,
+):
+    """All-frames (p2, p3, valid) from the PRECOMPUTED observed tracks —
+    zero flow gathers in the camera sweep.
+
+    TPU-first redesign of collect_p3p_instances (same spirit as the
+    'tracked' depth cost, vo/em.py:precompute_obs_tracks): the reference
+    traces p2 from a projection of the current 3D estimate at trace_start
+    (collect_p3p_instances.cu:106-133); here p2(i) is the frame-0 pixel's
+    position in frame i+1 along the *observed* flow composition, which is
+    pose/depth independent and already hoisted once per solve. p3(i) stays
+    the chained transform of the current depth (elementwise). At the EM
+    fixed point the projected and observed traces coincide, so the
+    correspondence set is the same; off-optimum both designs pair a current
+    3D estimate with observed 2D evidence. Gates kept from the reference:
+    home-depth range, rigidness-product trace length (<= max_trace_on_flow),
+    in-bounds along the track (from frame 0 here — a superset of the
+    reference's trace_start..i bound), chain-depth range, finiteness.
+
+    obs_track: (tx, ty, obx, oby) each (N, h, w) at FULL resolution;
+    obs_tinb: (N, h, w). Returns (p2 (N, hs, ws, 2), p3 (N, hs, ws, 3),
+    valid (N, hs, ws)).
+    """
+    N, h, w = rigidness.shape
+    tx, ty, obx, oby = obs_track
+    xs, ys = _pixel_grid(h, w)
+    if sample_stride > 1:
+        s = sample_stride
+        xs, ys = xs[::s, ::s], ys[::s, ::s]
+        depth = depth[::s, ::s]
+        rigidness = rigidness[:, ::s, ::s]
+        tx, ty = tx[:, ::s, ::s], ty[:, ::s, ::s]
+        obx, oby = obx[:, ::s, ::s], oby[:, ::s, ::s]
+        obs_tinb = obs_tinb[:, ::s, ::s]
+    hs, ws = xs.shape
+    M = max(int(max_trace_on_flow), 1) if max_trace_on_flow > 0 else N
+
+    ok0 = (depth >= sample_min_depth) & (
+        (sample_max_depth <= 0) | (depth <= sample_max_depth)
+    )
+    rig_sum = jnp.sum(rigidness, axis=0)
+    ok0 = ok0 & ~(
+        (rig_sum < rigidness_sum_threshold) & (rigidness_sum_threshold > N + 1)
+    )
+
+    # p2(i): the track position advanced through frame i's observed flow.
+    p2x = tx + obx
+    p2y = ty + oby
+    cum_inb = jnp.cumprod(obs_tinb.astype(jnp.int32), axis=0) > 0
+
+    ox0, oy0, oz0 = _backproject(xs, ys, depth, p)
+    ages = jnp.arange(M)
+
+    def step(carry, frame):
+        ox, oy, oz, prods, cum_rig_ok = carry
+        R, t, rig, i = frame
+        prods = jnp.concatenate([rig[None], prods[:-1] * rig[None]], axis=0)
+        age_ok = (ages <= i)[:, None, None]
+        alive = (prods > rigidness_threshold) & age_ok
+        n_trace = jnp.sum(jnp.cumprod(alive.astype(jnp.int32), axis=0), axis=0)
+        # Tracks are anchored at frame 0 (the traced collect re-anchors at
+        # trace_start instead), so a pixel whose EARLY flow was corrupted
+        # carries that corruption into every later target; require the
+        # whole track to be rigid, not just the reference's trailing
+        # max_trace window. Inert on EM iteration 1 (rigidness == 1); the
+        # hybrid schedule uses the traced collect there.
+        cum_rig_ok = cum_rig_ok & ((rig > rigidness_threshold) | (i >= active_n))
+        valid = (
+            ok0 & (i < active_n) & (n_trace > 0) & cum_rig_ok
+            & (oz > sample_min_depth)
+            & ((sample_max_depth <= 0) | (oz < sample_max_depth))
+            & jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+        )
+        out = (ox, oy, oz, valid)
+        nx = R[0, 0] * ox + R[0, 1] * oy + R[0, 2] * oz + t[0]
+        ny = R[1, 0] * ox + R[1, 1] * oy + R[1, 2] * oz + t[1]
+        nz = R[2, 0] * ox + R[2, 1] * oy + R[2, 2] * oz + t[2]
+        return (nx, ny, nz, prods, cum_rig_ok), out
+
+    init = (
+        ox0, oy0, oz0,
+        jnp.zeros((M, hs, ws), jnp.float32),
+        jnp.ones((hs, ws), bool),
+    )
+    _, (p3x, p3y, p3z, valid) = jax.lax.scan(
+        step, init, (Rs, ts, rigidness, jnp.arange(N))
+    )
+    valid = valid & cum_inb & jnp.isfinite(p2x) & jnp.isfinite(p2y)
+    p2 = jnp.stack([p2x, p2y], axis=-1)
+    p3 = jnp.stack([p3x, p3y, p3z], axis=-1)
+    return p2, p3, valid
+
+
+def _get_batch_p4p(minimal_solver: str):
+    """Minimal-solver registry (--lambdatwist 1/0, config.h:23;
+    geometry.cpp:149-153 selects lambdatwist vs AP3P)."""
+    if minimal_solver == "lambdatwist":
+        return p3p.solve_batch_p4p
+    if minimal_solver == "ap3p":
+        return ap3p.solve_batch_p4p_ap3p
+    raise ValueError(f"unknown minimal_solver {minimal_solver!r}")
+
+
 def _pose_step_core(
     depth,
     flows,
@@ -316,6 +435,10 @@ def _pose_step_core(
     rg_pose_scaling=100.0,
     rg_epsilon=1e-5,
     rg_max_iters=100,
+    minimal_solver="lambdatwist",
+    collect_mode="traced",
+    obs_track=None,
+    obs_tinb=None,
 ) -> PoseStepResult:
     """One camera-pose step (geometry.cpp:5-265), fully fused on device.
 
@@ -329,8 +452,7 @@ def _pose_step_core(
     pose6_init = poses6[active_idx]
 
     k_sample, k_ms = jax.random.split(key)
-    p2map, p3map, validmap = collect_p3p_instances(
-        depth, flows, rigidness, Rs, ts, active_idx, p,
+    collect_kw = dict(
         rigidness_threshold=rigidness_threshold,
         rigidness_sum_threshold=rigidness_sum_threshold,
         sample_min_depth=sample_min_depth,
@@ -338,15 +460,39 @@ def _pose_step_core(
         max_trace_on_flow=max_trace_on_flow,
         sample_stride=pose_sample_stride,
     )
+    if collect_mode == "obs" and obs_track is not None:
+        # gather-free collect from the hoisted observed tracks; the chain
+        # transform (all frames, elementwise) is recomputed against the
+        # CURRENT poses, preserving the Gauss-Seidel semantics of the
+        # sequential sweep. Rows != active_idx are computed and discarded
+        # (N is tiny; the per-row work is pure VPU math).
+        p2all, p3all, vall = collect_p3p_instances_obs(
+            depth, obs_track, obs_tinb, rigidness, Rs, ts,
+            active_idx + 1, p, **collect_kw,
+        )
+        p2map = jnp.take(p2all, active_idx, axis=0)
+        p3map = jnp.take(p3all, active_idx, axis=0)
+        validmap = jnp.take(vall, active_idx, axis=0)
+    else:
+        p2map, p3map, validmap = collect_p3p_instances(
+            depth, flows, rigidness, Rs, ts, active_idx, p, **collect_kw,
+        )
     h, w = depth.shape
     p2s = p2map.reshape(-1, 2)
     p3s = p3map.reshape(-1, 3)
     valid = validmap.reshape(-1)
     n_points = jnp.sum(valid.astype(jnp.int32))
 
-    rvecs, tvecs, ok = p3p.solve_batch_p4p(
+    batch_p4p = _get_batch_p4p(minimal_solver)
+    rvecs, tvecs, ok = batch_p4p(
         p2s, p3s, valid, k_sample, p.fx, p.fy, p.cx, p.cy, n_poses=n_poses_to_sample
     )
+    # multi-chip: partition the hypothesis pool over the mesh's hyp axis —
+    # each chip runs its slice of the 8192 P4P solves + meanshift kernel
+    # evaluations; the reductions become psums (no-op single-chip)
+    rvecs = shard_hint(rvecs, "hyp", None)
+    tvecs = shard_hint(tvecs, "hyp", None)
+    ok = shard_hint(ok, "hyp")
     pool = jnp.concatenate([rvecs * meanshift_rvec_scale, tvecs], axis=-1)
     pool_valid = ok.astype(jnp.float32)
     pose_sample_count = jnp.sum(ok.astype(jnp.int32))
@@ -443,6 +589,8 @@ _POSE_HP_STATIC = (
     "meanshift_max_init_trials",
     "rg_max_iters",
     "max_trace_on_flow",
+    "minimal_solver",
+    "collect_mode",
 )
 
 
@@ -503,6 +651,9 @@ def _cameras_window_core(
     p: EmParams,
     trunc_rigidness_density=0.05,
     trunc_sample_density=0.001,
+    collect_mode="traced",
+    obs_track=None,
+    obs_tinb=None,
     **hp,
 ) -> CameraWindowResult:
     """The full per-window camera sweep with the truncation policy
@@ -532,7 +683,8 @@ def _cameras_window_core(
             res = _pose_step_core(
                 depth, flows, rigidness, poses6, covars, i,
                 counts[i] != 0, rg_refine, jax.random.fold_in(base_key, i),
-                p, **hp,
+                p, collect_mode=collect_mode, obs_track=obs_track,
+                obs_tinb=obs_tinb, **hp,
             )
             return res.poses6, res.pose_covars, res.pose_density, \
                 res.pose_sample_count, res.success
@@ -619,6 +771,10 @@ def _cameras_window_jacobi_core(
     rg_pose_scaling=100.0,
     rg_epsilon=1e-5,
     rg_max_iters=100,
+    minimal_solver="lambdatwist",
+    collect_mode="traced",
+    obs_track=None,
+    obs_tinb=None,
 ) -> CameraWindowResult:
     """Batched (Jacobi) camera sweep: every frame's pose step against the
     pre-sweep window poses.
@@ -638,8 +794,7 @@ def _cameras_window_jacobi_core(
 
     Rs = lie.so3_exp(poses6[:, :3])
     ts = poses6[:, 3:6]
-    p2, p3, valid = collect_p3p_instances_all(
-        depth, flows, rigidness, Rs, ts, n_flows, p,
+    collect_kw = dict(
         rigidness_threshold=rigidness_threshold,
         rigidness_sum_threshold=rigidness_sum_threshold,
         sample_min_depth=sample_min_depth,
@@ -647,6 +802,15 @@ def _cameras_window_jacobi_core(
         max_trace_on_flow=max_trace_on_flow,
         sample_stride=pose_sample_stride,
     )
+    if collect_mode == "obs" and obs_track is not None:
+        p2, p3, valid = collect_p3p_instances_obs(
+            depth, obs_track, obs_tinb, rigidness, Rs, ts, n_flows, p,
+            **collect_kw,
+        )
+    else:
+        p2, p3, valid = collect_p3p_instances_all(
+            depth, flows, rigidness, Rs, ts, n_flows, p, **collect_kw,
+        )
     p2s = p2.reshape(N, -1, 2)
     p3s = p3.reshape(N, -1, 3)
     valid_flat = valid.reshape(N, -1)
@@ -658,13 +822,18 @@ def _cameras_window_jacobi_core(
     sample_keys = jax.vmap(lambda k: jax.random.split(k)[0])(frame_keys)
     ms_keys = jax.vmap(lambda k: jax.random.split(k)[1])(frame_keys)
 
+    batch_p4p = _get_batch_p4p(minimal_solver)
+
     def one_p4p(p2_i, p3_i, valid_i, key_i):
-        return p3p.solve_batch_p4p(
+        return batch_p4p(
             p2_i, p3_i, valid_i, key_i, p.fx, p.fy, p.cx, p.cy,
             n_poses=n_poses_to_sample,
         )
 
     rvecs, tvecs, ok = jax.vmap(one_p4p)(p2s, p3s, valid_flat, sample_keys)
+    rvecs = shard_hint(rvecs, None, "hyp", None)
+    tvecs = shard_hint(tvecs, None, "hyp", None)
+    ok = shard_hint(ok, None, "hyp")
     pool = jnp.concatenate([rvecs * meanshift_rvec_scale, tvecs], axis=-1)
     pool_valid = ok.astype(jnp.float32)
     pose_sample_count = jnp.sum(ok.astype(jnp.int32), axis=1)
