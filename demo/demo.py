@@ -25,6 +25,12 @@ parser.add_argument("--save_depths", type=str)
 parser.add_argument("--save_ply", type=str)
 parser.add_argument("--save_map", type=str, help="write a resumable map checkpoint at the end")
 parser.add_argument("--load_map", type=str, help="resume from a map checkpoint")
+parser.add_argument("--metrics", type=str,
+                    help="write per-window/link/PGO JSON-line metrics to this file")
+parser.add_argument("--debug_dir", type=str,
+                    help="dump per-window debug artifacts (rigidness mosaics, "
+                         "inverse depth, confidences) to this directory "
+                         "(reference --debug, voldor.cpp:378-396)")
 
 opt = parser.parse_args()
 if opt.abs_resize is None:
@@ -41,6 +47,10 @@ if __name__ == "__main__":
     slam = VOLDOR_SLAM(mode=opt.mode)
     slam.set_cam_params(opt.fx, opt.fy, opt.cx, opt.cy, opt.bf, rescale=opt.resize)
     slam.voldor_user_config = f"--abs_resize_factor {opt.abs_resize}"
+    if opt.metrics:
+        slam.metrics.open(opt.metrics)
+    if opt.debug_dir:
+        slam.debug_dir = opt.debug_dir
 
     if opt.enable_loop_closure is not None:
         slam.enable_loop_closure(opt.enable_loop_closure)

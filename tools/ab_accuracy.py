@@ -113,21 +113,27 @@ def run_pipeline(flows, Ts, user_cfg: str):
 def main():
     import voldor_tpu  # noqa: F401
 
-    combos = []
-    for sweep in ("seq", "hybrid"):
-        for stride in (1, 2):
-            for cost in ("tracked", "projected"):
-                combos.append((sweep, stride, cost))
+    # named configurations: the shipping default, the reference-exact
+    # schedule/cost, and single-knob isolations
+    combos = [
+        ("default_anch_hyb_obs", ""),
+        ("reference_exact",
+         "--pose_window_sweep seq --pose_collect_mode traced "
+         "--depth_cost_mode projected"),
+        ("seq_tracked_r1",
+         "--pose_window_sweep seq --pose_collect_mode traced "
+         "--depth_cost_mode tracked"),
+        ("seq_anchored",
+         "--pose_window_sweep seq --pose_collect_mode traced "
+         "--depth_cost_mode anchored"),
+        ("default_stride2", "--pose_sample_stride 2"),
+    ]
 
     out = {}
     for degraded in (False, True):
         flows, Ts = build(degraded)
-        for sweep, stride, cost in combos:
-            cfg = (
-                f"--pose_window_sweep {sweep} --pose_sample_stride {stride} "
-                f"--depth_cost_mode {cost}"
-            )
-            key = f"{'degraded' if degraded else 'clean'}/{sweep}/stride{stride}/{cost}"
+        for name, cfg in combos:
+            key = f"{'degraded' if degraded else 'clean'}/{name}"
             try:
                 out[key] = run_pipeline(flows, Ts, cfg)
             except Exception as e:  # record, keep sweeping

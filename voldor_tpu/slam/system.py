@@ -92,6 +92,10 @@ class VOLDOR_SLAM:
         self.disable_local_mapping = False
 
         # internal
+        from voldor_tpu.utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger()  # enable with .metrics.open(path)
+        self.debug_dir = None  # set to dump per-window debug artifacts
         self._use_loop_closure = False
         self._block_vo_signal = False
         self._map_lock = RWLock()
@@ -383,13 +387,20 @@ class VOLDOR_SLAM:
             print(
                 f"solve pgo {fid_start}-{n_frames_total}, n_frames={n_frames}, n_edges={n_edges}"
             )
+            self.metrics.log(
+                "pgo", fid_start=int(fid_start), n_frames=int(n_frames),
+                n_edges=int(n_edges),
+            )
 
     # ------------------------------------------------------------------
     def process_vo(self):
         """(voldor_slam.py:416-536)"""
+        import time as _time
+
         import voldor_tpu.vo.api as _voapi
         py_voldor = _voapi.voldor
 
+        _t0 = _time.perf_counter()
         with self._map_lock.r_locked():
             if self.fid_cur >= (self.N_FRAMES - 1):
                 self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
@@ -427,12 +438,19 @@ class VOLDOR_SLAM:
                 depth_priors=np.stack(depth_priors) if depth_priors else None,
                 depth_prior_pconfs=np.stack(depth_prior_pconfs) if depth_prior_pconfs else None,
                 depth_prior_poses=np.stack(depth_prior_poses) if depth_prior_poses else None,
-                config=self.voldor_config + " " + self.voldor_user_config,
+                config=self.voldor_config + " " + self.voldor_user_config
+                + (" --save_everything" if self.debug_dir else ""),
                 pad_window_to=self.voldor_winsize,
             )
 
+            if self.debug_dir:
+                from voldor_tpu.utils.debug_viz import dump_window_debug
+
+                dump_window_debug(self.debug_dir, int(self.fid_cur), vo_ret)
+
             if vo_ret["n_registered"] == 0:
                 print(f"Tracking lost at {self.fid_cur}")
+                self.metrics.log("tracking_lost", fid=int(self.fid_cur))
                 self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
                 self.edges.append(
                     Edge(self.fid_cur, self.fid_cur + 1, pose=Edge.pose_static,
@@ -495,6 +513,15 @@ class VOLDOR_SLAM:
                     self.append_kf(self.fid_cur)
                     self.fid_cur_spakf = self.fid_cur
 
+                self.metrics.log(
+                    "vo_window",
+                    fid=int(self.fid_cur),
+                    n_registered=int(vo_ret["n_registered"]),
+                    vo_step=int(vo_step),
+                    n_priors=len(depth_priors),
+                    window_s=round(_time.perf_counter() - _t0, 4),
+                    mean_depth_conf=float(np.mean(vo_ret["depth_conf"])),
+                )
                 self.fid_cur_tmpkf = self.fid_cur
                 self.fid_cur += vo_step
         return True
@@ -566,15 +593,24 @@ class VOLDOR_SLAM:
             )
             consistency = np.nanmean(falign_ret["consistency_mat"])
             visibility = np.nanmean(falign_ret["visibility_mat"])
-            if (
+            gate_cv = (
                 consistency < self.mp_link_consistency_thresh
                 or visibility < self.mp_link_visibility_thresh
-            ):
-                return
-            if np.any(
+            )
+            gate_rank = not gate_cv and bool(np.any(
                 np.linalg.matrix_rank(falign_ret["poses_covar"].astype(np.float64))
                 != falign_ret["poses_covar"].shape[1]
-            ):
+            ))
+            self.metrics.log(
+                "local_link",
+                kf_ids=[int(k) for k in kf_ids],
+                consistency=round(float(consistency), 4),
+                visibility=round(float(visibility), 4),
+                accepted=not (gate_cv or gate_rank),
+                rejected_by="consistency/visibility" if gate_cv
+                            else ("covar_rank" if gate_rank else None),
+            )
+            if gate_cv or gate_rank:
                 return
             self._append_falign_edges(kf_ids, falign_ret, edge_type="falign-local")
 
