@@ -152,11 +152,13 @@ def build_slam_scene(n_flows=60):
         d = plane_depth(K, R, t, planes, H, W).astype(np.float64)
         Xc = rays * d[..., None]
         Xw = (Xc - t) @ R  # R^T (Xc - t), row-vector form
-        tex = (
-            128.0
-            + 52.0 * np.sin(2.1 * Xw[..., 0]) * np.cos(1.7 * Xw[..., 1])
-            + 44.0 * np.sin(0.9 * Xw[..., 0] + 1.3 * Xw[..., 1] + 0.7 * Xw[..., 2])
-        )
+        # hard-edged blob pattern: thresholded sinusoids give strong corners
+        # (ORB/FAST finds nothing on smooth gradients — measured 0 features
+        # on the raw sinusoid mixture)
+        t1 = np.sin(2.1 * Xw[..., 0]) * np.cos(1.7 * Xw[..., 1])
+        t2 = np.sin(0.9 * Xw[..., 0] + 1.3 * Xw[..., 1] + 0.7 * Xw[..., 2])
+        t3 = np.sin(3.7 * Xw[..., 0]) * np.sin(2.9 * Xw[..., 1])
+        tex = 40.0 + 75.0 * (t1 > 0) + 60.0 * (t2 > 0.3) + 45.0 * (t3 > 0.2)
         g8 = np.clip(tex, 0, 255).astype(np.uint8)
         images_bgri.append(np.repeat(g8[..., None], 3, axis=-1))
         images_grayf.append(g8.astype(np.float32) / 255.0)
@@ -176,8 +178,10 @@ def _make_slam_e2e(flows, images_bgri, images_grayf):
     slam.images_grayf = list(images_grayf)
     slam.image_loader_pt = len(images_bgri)
     slam.enable_loop_closure()
-    # short sequence: relax the (20-keyframe) revisit distance gate
-    slam.lc_min_kf_distance = 4
+    # short sequence: relax the (20-keyframe) revisit distance gate (the
+    # return leg re-covers outbound views, so covisibility stepping yields
+    # few return-leg keyframes)
+    slam.lc_min_kf_distance = 3
     return slam
 
 

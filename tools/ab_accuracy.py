@@ -61,9 +61,14 @@ def build(degraded: bool):
 
     flows, depth0, Ts = render_window(K, poses, PLANES, H, W, r2R)
     if degraded:
+        # object motion must have a component inconsistent with every static
+        # depth: motion parallel to the epipolar flow direction (+x here) is
+        # absorbed by a wrong depth and is geometrically unrejectable (same
+        # reasoning as tests/test_degraded.py MOVING_OBJECT) — so it moves
+        # mostly in -y.
         flows = degrade_flows(
             flows, seed=7, noise_scale=1.0, n_occlusions=4,
-            moving_object=dict(x=18, y=20, w=26, h=22, motion=(4.0, 1.5)),
+            moving_object=dict(x=18, y=20, w=26, h=22, motion=(0.5, -3.0)),
         )
     return flows, Ts
 

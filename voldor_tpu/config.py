@@ -66,10 +66,14 @@ class VoldorConfig:
     # strided pixel subgrid. The scattered bilinear flow gathers in the
     # collect trace dominate the camera sweep on TPU and scale with the
     # number of positions; the P3P stage only draws 4*n_poses_to_sample
-    # random correspondences from the pool anyway. 1 = reference-exact
-    # (the default; bench/presets opt into 2 where the accuracy A/B
-    # justifies it — see tests/test_degraded.py).
-    pose_sample_stride: int = 1
+    # random correspondences from the pool anyway. 1 = reference-exact.
+    # Default 2: on the Fisk-degraded harness stride 2 is dramatically MORE
+    # robust than the reference-exact full grid (t_rel 9.8% vs 118% with
+    # otherwise-default knobs; clean-scene accuracy identical to stride 1 —
+    # docs/ACCURACY_AB.json), and it is faster. The strided subgrid thins
+    # locally-correlated corrupted samples (occluders / object interiors)
+    # from the P4P pool while exact correspondences stay exact.
+    pose_sample_stride: int = 2
     rigidness_threshold: float = 0.5
     rigidness_sum_threshold: float = 1.0
 

@@ -63,13 +63,15 @@ def falign(
     if poses_init is not None:
         params0[:, :6] = np.asarray(poses_init, np.float32)
 
-    # Active parameter dims: pose always; depth scale if 7dof; color if photo.
-    dim_mask = np.zeros(9, np.float32)
-    dim_mask[:6] = 1.0
+    # Active parameter dims per frame: pose always; depth scale if 7dof;
+    # color if photo. (In 7-dof mode the solver additionally soft-fixes the
+    # mean log-scale — see lm_solve's gauge term.)
+    dim_mask = np.zeros((N, 9), np.float32)
+    dim_mask[:, :6] = 1.0
     if optimize_7dof:
-        dim_mask[6] = 1.0
+        dim_mask[:, 6] = 1.0
     if use_photo:
-        dim_mask[7:9] = 1.0
+        dim_mask[:, 7:9] = 1.0
 
     maps, bounds = precompute_maps(
         jnp.asarray(depths),

@@ -62,8 +62,11 @@ def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, b
     res, valid, Jr, Jt = jax.vmap(one)(
         params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
     )
-    Jr = jnp.where(valid[..., None], Jr, 0.0) * dim_mask
-    Jt = jnp.where(valid[..., None], Jt, 0.0) * dim_mask
+    # dim_mask is per-frame (N, 9): select each pair's side mask
+    mask_r = dim_mask[pairs[:, 0]][:, None, None, :]
+    mask_t = dim_mask[pairs[:, 1]][:, None, None, :]
+    Jr = jnp.where(valid[..., None], Jr, 0.0) * mask_r
+    Jt = jnp.where(valid[..., None], Jt, 0.0) * mask_t
     return res, valid, Jr, Jt
 
 
@@ -130,14 +133,35 @@ def lm_solve(
             )
         )
 
-    inactive = jnp.tile(1.0 - dim_mask, N)
+    inactive = (1.0 - dim_mask).reshape(-1)
+
+    # Scale-gauge regularizer (7-dof only; u is zero otherwise): the
+    # disparity-space residuals shrink as the whole constellation inflates
+    # (every inverse depth -> 0), so the joint problem has a descent
+    # direction along the common log-scale mode — observed as a ~90x scale
+    # + huge-translation blow-up on loop-closure pairs. The reference's
+    # one-sided Gauss-Seidel never exposes this direction
+    # (align_frame.cpp:143); the joint scheme pins it SOFTLY with one extra
+    # residual r = W * sum(s_i) (W from the initial Hessian's typical scale
+    # curvature), which keeps the well-behaved symmetric convergence of the
+    # free parameterization while removing the runaway mode. Relative
+    # scales (what the SLAM edges consume) are unaffected.
+    u = (jnp.zeros((N, 9)).at[:, 6].set(1.0) * dim_mask).reshape(-1)
+    n_scale = jnp.maximum(jnp.sum(u), 1.0)
+
+    def gauge_w2(H):
+        return jnp.sum(jnp.diag(H) * u) / n_scale
 
     def body(state):
-        params, lam, cost, it, done = state
+        params, lam, cost, it, done, w2 = state
         res, valid, Jr, Jt = _pair_res_and_jacs(
             params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
         )
         H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+        w2 = jnp.where(it == 0, gauge_w2(H), w2)
+        s_sum = jnp.dot(params.reshape(-1), u)
+        H = H + w2 * jnp.outer(u, u)
+        g = g + w2 * s_sum * u
         diag = jnp.maximum(jnp.diag(H), 1e-8)
         damped = H + jnp.diag(lam * diag + inactive)
 
@@ -146,22 +170,26 @@ def lm_solve(
         Lsafe = jnp.where(ok, L, jnp.eye(D))
         step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
         trial = params - step.reshape(N, 9) * dim_mask
-        new_cost = cost_of(trial)
-        accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
+        trial_sum = jnp.dot(trial.reshape(-1), u)
+        new_cost = cost_of(trial) + 0.5 * w2 * trial_sum * trial_sum
+        cur_cost = cost + 0.5 * w2 * s_sum * s_sum
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
         params = jnp.where(accept, trial, params)
         lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
-        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
         done = (accept & (rel_drop < 1e-8)) | (lam > 1e9)
-        cost = jnp.where(accept, new_cost, cost)
-        return params, lam, cost, it + 1, done
+        cost = jnp.where(accept, new_cost - 0.5 * w2 * trial_sum * trial_sum, cost)
+        return params, lam, cost, it + 1, done, w2
 
     def cond(state):
-        _, _, _, it, done = state
+        _, _, _, it, done, _ = state
         return (it < max_iters) & (~done)
 
     init_cost = cost_of(params0)
-    params, lam, cost, it, _ = jax.lax.while_loop(
-        cond, body, (params0, jnp.float32(1e-3), init_cost, jnp.int32(0), jnp.bool_(False))
+    params, lam, cost, it, _, _ = jax.lax.while_loop(
+        cond, body,
+        (params0, jnp.float32(1e-3), init_cost, jnp.int32(0), jnp.bool_(False),
+         jnp.float32(0.0)),
     )
 
     # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
@@ -176,7 +204,7 @@ def lm_solve(
     JtJ_p = jnp.einsum("pki,pkj->pij", Jf, Jf)
     onehot = jax.nn.one_hot(pairs[:, 0], N, dtype=res.dtype)
     JtJ = jnp.einsum("pn,pij->nij", onehot, JtJ_p)
-    JtJ_solve = JtJ + jax.vmap(jnp.diag)(jnp.broadcast_to(1.0 - dim_mask, (N, 9)))
+    JtJ_solve = JtJ + jax.vmap(jnp.diag)(1.0 - dim_mask)
     L = jnp.linalg.cholesky(JtJ_solve)
     ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
     Lsafe = jnp.where(ok[:, None, None], L, jnp.broadcast_to(jnp.eye(9), L.shape))

@@ -750,6 +750,33 @@ class VOLDOR_SLAM:
         lc_pairs = set()
         new_local_link_flag = False
         new_lc_link_flag = False
+        n_lc_seen = 0
+
+        def _merge_lc_candidates(n_kfs_cur):
+            # Fold lc_candidates into the priority matrix. The reference
+            # only does this when a NEW keyframe registers
+            # (voldor_slam.py:775-780) — but append_kf publishes kf_ids
+            # before lc_candidates, so a candidate discovered by the LAST
+            # keyframe can land after the registration pass already read
+            # the list and is then never scheduled (the priority matrix is
+            # only rebuilt on the next registration). Calling this from the
+            # idle branch too closes that race.
+            nonlocal n_lc_seen
+            updated = False
+            for f1, f2 in self.lc_candidates[:]:
+                for ff1, ff2 in [
+                    (f1, f2), (f1 + 1, f2), (f1 - 1, f2), (f1, f2 + 1), (f1, f2 - 1)
+                ]:
+                    if 0 <= ff1 < n_kfs_cur and 0 <= ff2 < n_kfs_cur:
+                        pri = np.exp(
+                            -((abs(ff1 - f1) + abs(ff2 - f2)) / self.mp_lc_sigma) ** 2
+                        )
+                        if not link_mask[ff1, ff2] and pri > priority_mat[ff1, ff2]:
+                            priority_mat[ff1, ff2] = pri
+                            updated = True
+                        lc_pairs.add((ff1, ff2))
+            n_lc_seen = len(self.lc_candidates)
+            return updated
 
         while not self.end_of_vo or n_kfs_registered < len(self.kf_ids):
             n_kfs_cur = len(self.kf_ids)
@@ -758,6 +785,8 @@ class VOLDOR_SLAM:
                 continue
 
             if n_kfs_registered == n_kfs_cur:
+                if n_lc_seen < len(self.lc_candidates):
+                    _merge_lc_candidates(n_kfs_cur)
                 Iy, Ix = np.unravel_index(np.argmax(priority_mat), priority_mat.shape)
                 if priority_mat[Iy, Ix] > self.mp_no_link_thresh and not link_mask[Iy, Ix]:
                     if (Iy, Ix) in lc_pairs:
@@ -788,16 +817,7 @@ class VOLDOR_SLAM:
                                 ),
                             )
 
-                for f1, f2 in self.lc_candidates:
-                    for ff1, ff2 in [
-                        (f1, f2), (f1 + 1, f2), (f1 - 1, f2), (f1, f2 + 1), (f1, f2 - 1)
-                    ]:
-                        if 0 <= ff1 < n_kfs_cur and 0 <= ff2 < n_kfs_cur:
-                            priority_mat[ff1, ff2] = max(
-                                priority_mat[ff1, ff2],
-                                np.exp(-((abs(ff1 - f1) + abs(ff2 - f2)) / self.mp_lc_sigma) ** 2),
-                            )
-                            lc_pairs.add((ff1, ff2))
+                _merge_lc_candidates(n_kfs_cur)
 
                 priority_mat[link_mask] = 0
                 Iy, Ix = np.where(priority_mat > self.mp_realtime_link_thresh)
@@ -825,6 +845,23 @@ class VOLDOR_SLAM:
 
                 n_kfs_registered = n_kfs_cur
                 self._block_vo_signal = False
+
+        # Drain the remaining above-threshold links before the final global
+        # PGO (the reference exits the loop as soon as VO ends and silently
+        # drops still-pending cells — including a loop closure discovered by
+        # the last keyframe, voldor_slam.py:743/825-828).
+        n_kfs_cur = len(self.kf_ids)
+        _merge_lc_candidates(n_kfs_cur)
+        while True:
+            Iy, Ix = np.unravel_index(np.argmax(priority_mat), priority_mat.shape)
+            if priority_mat[Iy, Ix] <= self.mp_no_link_thresh or link_mask[Iy, Ix]:
+                break
+            if (Iy, Ix) in lc_pairs:
+                self.establish_lc_links([self.kf_ids[Iy], self.kf_ids[Ix]])
+            else:
+                self.establish_local_links([self.kf_ids[Iy], self.kf_ids[Ix]])
+            link_mask[Iy, Ix] = True
+            priority_mat[Iy, Ix] = 0
 
         self.solve_pgo()
         self._viewer_signal_map_changed = True
