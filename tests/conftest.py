@@ -43,6 +43,7 @@ _SLOW_TESTS = {
     "test_ap3p_single_exact_recovery",
     "test_stereo_mode_recovers_metric_scale",
     "test_slam_mono_local_links_and_pgo",
+    "test_links_batch_matches_single",
     "test_slam_mono_vo_trajectory",
     "test_falign_connectivity_subset",
     "test_optimize_depth_monotone_cost",

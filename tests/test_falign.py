@@ -151,3 +151,38 @@ def test_falign_connectivity_subset():
     )
     assert np.isfinite(ret["visibility_mat"][0, 1])
     assert np.isnan(ret["visibility_mat"][1, 0])
+
+
+def test_falign_pairs_matches_per_pair():
+    """falign_pairs (vmapped independent 2-frame LM) must reproduce the
+    per-pair falign() results — JAX's batched while_loop freezes converged
+    lanes, so the iterates are identical up to f32 batching effects."""
+    from voldor_tpu.falign.api import falign_pairs
+
+    depths_a, _ = _make_pair(TRUE_POSE)
+    shift = np.array([0.02, -0.01, 0.015, 0.1, -0.08, 0.12], np.float32)
+    depths_b, _ = _make_pair(TRUE_POSE + shift)
+    init = np.zeros((2, 2, 6), np.float32)
+    init[0, 1] = TRUE_POSE
+    init[1, 1] = TRUE_POSE + shift
+
+    batch = falign_pairs(
+        np.stack([depths_a, depths_b]), FX, FY, CX, CY,
+        poses_init=init, vbf=FX * 5, crw=0.0, optimize_7dof=True, stride=2,
+    )
+    singles = [
+        falign(d, FX, FY, CX, CY, poses_init=i, vbf=FX * 5, crw=0.0,
+               optimize_7dof=True, stride=2)
+        for d, i in ((depths_a, init[0]), (depths_b, init[1]))
+    ]
+    for b, s in zip(batch, singles):
+        np.testing.assert_allclose(
+            b["poses_ret"], s["poses_ret"], rtol=0.05, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            b["scaling_factor"], s["scaling_factor"], rtol=0.03
+        )
+        np.testing.assert_allclose(
+            np.nanmean(b["consistency_mat"]), np.nanmean(s["consistency_mat"]),
+            atol=0.02,
+        )

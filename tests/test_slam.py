@@ -147,3 +147,37 @@ def test_save_poses_formats(tmp_path):
     d = tmp_path / "depths"
     slam.save_depth_maps(str(d))
     assert len(list(d.glob("*_depth.npy"))) == len(slam.kf_ids)
+
+
+@pytest.mark.slow
+def test_links_batch_matches_single():
+    """establish_links_batch (many pairs, one falign dispatch, duplicated
+    frames + block-diagonal connectivity) must produce the same edges as
+    the one-pair-at-a-time path."""
+    poses, flows, depth0, Ts = _make_sequence(14, tx=0.35, flow_noise=0.05)
+    slam = _make_slam(flows)
+    slam.mp_link_visibility_thresh = 0.6
+    while slam.process_vo():
+        pass
+    if len(slam.kf_ids) < 3:
+        pytest.skip("sequence produced fewer than 3 keyframes")
+    pairs = [
+        (slam.kf_ids[0], slam.kf_ids[1]),
+        (slam.kf_ids[1], slam.kf_ids[2]),
+    ]
+    n0 = len(slam.edges)
+    slam.establish_links_batch(pairs, kind="local")
+    batched = slam.edges[n0:]
+    n1 = len(slam.edges)
+    slam.establish_local_links(list(pairs[0]))
+    slam.establish_local_links(list(pairs[1]))
+    single = slam.edges[n1:]
+    assert len(batched) == len(single) > 0
+    for b, s in zip(batched, single):
+        assert (b.fid1, b.fid2) == (s.fid1, s.fid2)
+        # the batched LM shares one convergence flag across pairs, so the
+        # iterate can stop a step earlier/later than the single-pair solve
+        np.testing.assert_allclose(b.pose, s.pose, rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(
+            np.diag(b.pose_covar), np.diag(s.pose_covar), rtol=0.3, atol=1e-6
+        )

@@ -7,8 +7,11 @@ py_export.cpp:4-89).
 
 from __future__ import annotations
 
-import numpy as np
+from functools import partial
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from voldor_tpu.falign.residual import precompute_maps
 from voldor_tpu.falign.solver import align_scores, lm_solve
@@ -81,6 +84,36 @@ def falign(
     )
     intr = (jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy))
 
+    # Per-connected-component scale-gauge rows (see lm_solve): union-find
+    # over the pair graph, one indicator row per component's scale dims.
+    gauge_U = None
+    if optimize_7dof:
+        parent = list(range(N))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for r, t in pairs:
+            ra, rb = find(r), find(t)
+            if ra != rb:
+                parent[ra] = rb
+        comp_of = {}
+        rows = []
+        for i in range(N):
+            if not any(i in p for p in pairs):
+                continue  # isolated frame: no residuals, no gauge
+            r = find(i)
+            if r not in comp_of:
+                comp_of[r] = len(rows)
+                rows.append(np.zeros(N * 9, np.float32))
+            rows[comp_of[r]][i * 9 + 6] = 1.0
+        gauge_U = jnp.asarray(
+            np.stack(rows) if rows else np.zeros((0, N * 9), np.float32)
+        )
+
     res = lm_solve(
         jnp.asarray(params0),
         jnp.asarray(pairs_np),
@@ -90,6 +123,7 @@ def falign(
         jnp.float32(vbf),
         jnp.float32(crw),
         jnp.asarray(dim_mask),
+        gauge_U,
         use_photo=use_photo,
         stride=int(stride),
         bounds=bounds,
@@ -133,3 +167,128 @@ def falign(
         "visibility_mat": visibility_mat,
         "consistency_mat": consistency_mat,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("use_photo", "stride", "bounds", "max_iters"),
+)
+def _pairs_solve(
+    params0_b, maps_b, intr, vbf, crw, dim_mask, gauge_U, bound,
+    *, use_photo, stride, bounds, max_iters=100,
+):
+    """vmapped independent 2-frame LM + scores over a (P, 2, ...) batch.
+
+    One small compile per (P-bucket, stride, photo) — the joint N-frame
+    path compiles a dense (N*9)^2 problem whose XLA build takes minutes at
+    32 frames, while this is the 2-frame program with a batch axis. JAX's
+    batched while_loop freezes converged lanes (select on the per-lane
+    cond), so each pair solves EXACTLY as an independent lm_solve call."""
+    pairs2 = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
+    bicon2 = jnp.asarray([True, True])
+
+    def one(p0, maps):
+        res = lm_solve(
+            p0, pairs2, bicon2, maps, intr, vbf, crw, dim_mask, gauge_U,
+            use_photo=use_photo, stride=stride, bounds=bounds,
+            n_frames=2, max_iters=max_iters,
+        )
+        vis, cons = align_scores(
+            res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds
+        )
+        return res.params, res.covars, vis, cons
+
+    return jax.vmap(one)(params0_b, maps_b)
+
+
+def falign_pairs(
+    depths: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    weights: np.ndarray | None = None,
+    images: np.ndarray | None = None,
+    poses_init: np.ndarray | None = None,
+    vbf: float = 1000.0,
+    crw: float = 10.0,
+    optimize_7dof: bool = False,
+    stride: int = 4,
+    consistency_residual_bound: float = 1.0,
+) -> list[dict]:
+    """Batch of P INDEPENDENT two-frame alignment problems in one dispatch.
+
+    The TPU-native mapping-scheduler path (SURVEY 2.8 task-parallel): the
+    reference issues each keyframe-pair falign through a host thread pool
+    one GPU problem at a time (voldor_slam.py:790-800); here the P pairs
+    ride a batch axis of the 2-frame LM.
+
+    depths: (P, 2, h, w); weights/images optional same shape;
+    poses_init: (P, 2, 6). Returns a list of P dicts, each with the same
+    keys/shapes as falign() on that 2-frame problem.
+    """
+    depths = np.ascontiguousarray(depths, np.float32)
+    P, two, h, w = depths.shape
+    assert two == 2
+    use_photo = images is not None and crw > 0
+
+    def flat(a):
+        return None if a is None else jnp.asarray(
+            np.ascontiguousarray(a, np.float32).reshape(P * 2, h, w)
+        )
+
+    maps_flat, bounds = precompute_maps(
+        flat(depths), flat(weights), flat(images), fx, fy, cx, cy
+    )
+    maps_b = jax.tree_util.tree_map(
+        lambda a: a.reshape(P, 2, *a.shape[1:]), maps_flat
+    )
+
+    params0 = np.zeros((P, 2, 9), np.float32)
+    if poses_init is not None:
+        params0[:, :, :6] = np.asarray(poses_init, np.float32)
+
+    dim_mask = np.zeros((2, 9), np.float32)
+    dim_mask[:, :6] = 1.0
+    if optimize_7dof:
+        dim_mask[:, 6] = 1.0
+    if use_photo:
+        dim_mask[:, 7:9] = 1.0
+    gauge_U = np.zeros((1 if optimize_7dof else 0, 18), np.float32)
+    if optimize_7dof:
+        gauge_U[0, 6] = 1.0
+        gauge_U[0, 15] = 1.0
+
+    intr = (jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy))
+    params_b, covars_b, vis_b, cons_b = _pairs_solve(
+        jnp.asarray(params0), maps_b, intr, jnp.float32(vbf),
+        jnp.float32(crw), jnp.asarray(dim_mask), jnp.asarray(gauge_U),
+        jnp.float32(consistency_residual_bound),
+        use_photo=use_photo, stride=int(stride), bounds=bounds,
+    )
+    params_b = np.asarray(params_b)
+    covars_b = np.asarray(covars_b)
+    vis_b = np.asarray(vis_b)
+    cons_b = np.asarray(cons_b)
+
+    d = 7 if optimize_7dof else 6
+    out = []
+    for i in range(P):
+        poses_covar = np.zeros((2, d, d), np.float32)
+        poses_covar[:, :6, :6] = covars_b[i, :, :6, :6]
+        if optimize_7dof:
+            poses_covar[:, 6, 6] = covars_b[i, :, 6, 6]
+        vm = np.full((2, 2), np.nan, np.float32)
+        cm = np.full((2, 2), np.nan, np.float32)
+        vm[0, 1], vm[1, 0] = vis_b[i, 0], vis_b[i, 1]
+        cm[0, 1], cm[1, 0] = cons_b[i, 0], cons_b[i, 1]
+        scaling = (np.exp(params_b[i, :, 6]) if optimize_7dof
+                   else np.ones(2, np.float32))
+        out.append({
+            "poses_ret": params_b[i, :, :6],
+            "poses_covar": poses_covar,
+            "scaling_factor": scaling,
+            "visibility_mat": vm,
+            "consistency_mat": cm,
+        })
+    return out

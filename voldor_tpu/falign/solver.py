@@ -106,6 +106,7 @@ def lm_solve(
     vbf,
     crw,
     dim_mask,
+    gauge_U=None,
     *,
     use_photo: bool,
     stride: int,
@@ -113,7 +114,11 @@ def lm_solve(
     max_iters: int = 100,
     n_frames: int = 0,
 ) -> FalignResult:
-    """Jointly damped LM; one residual trial per iteration."""
+    """Jointly damped LM; one residual trial per iteration.
+
+    gauge_U: optional (K, N*9) indicator rows — one per connected component
+    of the pair graph, marking that component's active scale dims (see the
+    gauge-regularizer comment below). None disables the gauge term."""
     del biconnected
     N = n_frames or params0.shape[0]
     D = N * 9
@@ -135,22 +140,31 @@ def lm_solve(
 
     inactive = (1.0 - dim_mask).reshape(-1)
 
-    # Scale-gauge regularizer (7-dof only; u is zero otherwise): the
-    # disparity-space residuals shrink as the whole constellation inflates
-    # (every inverse depth -> 0), so the joint problem has a descent
-    # direction along the common log-scale mode — observed as a ~90x scale
-    # + huge-translation blow-up on loop-closure pairs. The reference's
+    # Scale-gauge regularizer (7-dof only): the disparity-space residuals
+    # shrink as a whole constellation inflates (every inverse depth -> 0),
+    # so the joint problem has a descent direction along each connected
+    # component's common log-scale mode — observed as a ~90x scale +
+    # huge-translation blow-up on loop-closure pairs. The reference's
     # one-sided Gauss-Seidel never exposes this direction
-    # (align_frame.cpp:143); the joint scheme pins it SOFTLY with one extra
-    # residual r = W * sum(s_i) (W from the initial Hessian's typical scale
-    # curvature), which keeps the well-behaved symmetric convergence of the
-    # free parameterization while removing the runaway mode. Relative
-    # scales (what the SLAM edges consume) are unaffected.
-    u = (jnp.zeros((N, 9)).at[:, 6].set(1.0) * dim_mask).reshape(-1)
-    n_scale = jnp.maximum(jnp.sum(u), 1.0)
+    # (align_frame.cpp:143); the joint scheme pins each component SOFTLY
+    # with one residual r_k = W * sum_{i in comp k}(s_i) (W from the
+    # initial Hessian's typical scale curvature), keeping the well-behaved
+    # symmetric convergence of the free parameterization while removing
+    # the runaway modes. Relative scales (what the SLAM edges consume) are
+    # unaffected. Per-component (not global): independent pairs batched
+    # into one solve each have their OWN runaway mode, and a single global
+    # sum would let one component inflate while another deflates.
+    if gauge_U is None:
+        gauge_U = jnp.zeros((0, D), jnp.float32)
+    n_scale = jnp.maximum(jnp.sum(gauge_U), 1.0)
+    u_any = jnp.sum(gauge_U, axis=0)  # (D,) union of scale dims
 
     def gauge_w2(H):
-        return jnp.sum(jnp.diag(H) * u) / n_scale
+        return jnp.sum(jnp.diag(H) * u_any) / n_scale
+
+    def gauge_cost(w2, params):
+        s_sums = gauge_U @ params.reshape(-1)
+        return 0.5 * w2 * jnp.sum(s_sums * s_sums)
 
     def body(state):
         params, lam, cost, it, done, w2 = state
@@ -159,9 +173,9 @@ def lm_solve(
         )
         H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
         w2 = jnp.where(it == 0, gauge_w2(H), w2)
-        s_sum = jnp.dot(params.reshape(-1), u)
-        H = H + w2 * jnp.outer(u, u)
-        g = g + w2 * s_sum * u
+        s_sums = gauge_U @ params.reshape(-1)
+        H = H + w2 * (gauge_U.T @ gauge_U)
+        g = g + w2 * (gauge_U.T @ s_sums)
         diag = jnp.maximum(jnp.diag(H), 1e-8)
         damped = H + jnp.diag(lam * diag + inactive)
 
@@ -170,15 +184,14 @@ def lm_solve(
         Lsafe = jnp.where(ok, L, jnp.eye(D))
         step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
         trial = params - step.reshape(N, 9) * dim_mask
-        trial_sum = jnp.dot(trial.reshape(-1), u)
-        new_cost = cost_of(trial) + 0.5 * w2 * trial_sum * trial_sum
-        cur_cost = cost + 0.5 * w2 * s_sum * s_sum
+        new_cost = cost_of(trial) + gauge_cost(w2, trial)
+        cur_cost = cost + gauge_cost(w2, params)
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
-        params = jnp.where(accept, trial, params)
         lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
         rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
-        done = (accept & (rel_drop < 1e-8)) | (lam > 1e9)
-        cost = jnp.where(accept, new_cost - 0.5 * w2 * trial_sum * trial_sum, cost)
+        done = (accept & (rel_drop < 1e-6)) | (lam > 1e9)
+        cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
+        params = jnp.where(accept, trial, params)
         return params, lam, cost, it + 1, done, w2
 
     def cond(state):

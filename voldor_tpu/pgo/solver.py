@@ -286,11 +286,17 @@ def build_problem(
     meas_s = np.zeros(Mp, np.float32)
     sinfo = np.tile(np.eye(7, dtype=np.float32), (Mp, 1, 1))
     emask = np.zeros(Mp, np.float32)
+    if kept:
+        # one batched conversion: a per-edge eager quat_from_rvec costs a
+        # full device round trip each (~30ms on the remote-TPU tunnel)
+        kept_np = np.asarray(kept, np.int64)
+        meas_q[: len(kept)] = np.asarray(
+            lie.quat_from_rvec(jnp.asarray(edges_pose[kept_np, :3]))
+        )
     for j, m in enumerate(kept):
         e_idx[j, 0] = id_to_row[int(edges_idx[m, 0])]
         e_idx[j, 1] = id_to_row[int(edges_idx[m, 1])]
         meas_p[j] = edges_pose[m, 3:6]
-        meas_q[j] = np.asarray(lie.quat_from_rvec(jnp.asarray(edges_pose[m, :3])))
         meas_s[j] = edges_pose[m, 6]
         sinfo[j] = sqrt_infos[j].astype(np.float32)
         emask[j] = 1.0

@@ -561,58 +561,144 @@ class VOLDOR_SLAM:
 
     def establish_local_links(self, kf_ids):
         """(voldor_slam.py:538-594)"""
-        from voldor_tpu.falign.api import falign as py_falign
+        self.establish_links_batch([tuple(kf_ids)], kind="local")
+
+    def establish_links_batch(self, pair_list, kind="local"):
+        """Solve MANY independent 2-keyframe link problems in ONE falign
+        dispatch (SURVEY 2.8 task-parallel; the reference issues them one
+        at a time through a host thread pool, voldor_slam.py:790-800).
+
+        Frames are duplicated per pair and wired with block-diagonal
+        connectivity [(2i, 2i+1), (2i+1, 2i)], so each pair solves exactly
+        as the reference's independent problems (the per-component scale
+        gauge in falign keeps pairs decoupled) while the device runs all
+        of them as one LM program. The frame count pads to a power-of-two
+        bucket so the number of compiled executables stays logarithmic.
+
+        kind: 'local' (single photo+geo stage, pose init from the current
+        map) or 'lc' (two-stage geometry->photometric, identity init,
+        mono median-10 depth normalization — voldor_slam.py:597-675).
+        Per-pair gates, metrics, and edges match the unbatched paths."""
+        from voldor_tpu.falign.api import falign_pairs
+
+        if not pair_list:
+            return
+        # chunk to the largest bucket so one call never exceeds 16 pairs
+        if len(pair_list) > 16:
+            for i in range(0, len(pair_list), 16):
+                self.establish_links_batch(pair_list[i : i + 16], kind=kind)
+            return
+        is_lc = kind == "lc"
+        stride = self.falign_lc_link_stride if is_lc else self.falign_local_link_stride
+        d_blur = (self.falign_lc_depth_gblur_width if is_lc
+                  else self.falign_local_depth_gblur_width)
+        i_blur = (self.falign_lc_image_gblur_width if is_lc
+                  else self.falign_local_image_gblur_width)
 
         with self._map_lock.r_locked():
-            depths, weights, poses_init, images = [], [], [], []
-            for fid in kf_ids:
-                depth = self.frames[fid].get_scaled_depth()
-                depth = self._gblur(depth, self.falign_local_depth_gblur_width)
-                depths.append(depth)
-                weights.append(self.frames[fid].depth_conf)
-                poses_init.append(
-                    T44_to_T6(np.linalg.inv(self.frames[kf_ids[0]].Tcw) @ self.frames[fid].Tcw)
-                )
-                if self.use_image_info:
-                    if not self.image_loader_sync(fid):
-                        raise RuntimeError("Image loader not working or files are missing.")
-                    images.append(
-                        self._gblur(self.images_grayf[fid], self.falign_local_image_gblur_width)
-                    )
+            depths, weights, poses_init, images, scalings = [], [], [], [], []
+            for kf_ids in pair_list:
+                if is_lc:
+                    print("Loop closure at ", list(kf_ids))
+                for fid in kf_ids:
+                    depth = self.frames[fid].get_scaled_depth()
+                    if is_lc and self.mode == "mono":
+                        sc = 10 / np.median(depth)
+                        depth = depth * sc
+                        scalings.append(sc)
+                    elif is_lc:
+                        scalings.append(1.0)
+                    depth = self._gblur(depth, d_blur)
+                    depths.append(depth)
+                    weights.append(self.frames[fid].depth_conf)
+                    if not is_lc:
+                        poses_init.append(T44_to_T6(
+                            np.linalg.inv(self.frames[kf_ids[0]].Tcw)
+                            @ self.frames[fid].Tcw
+                        ))
+                    if self.use_image_info:
+                        if not self.image_loader_sync(fid):
+                            raise RuntimeError(
+                                "Image loader not working or files are missing."
+                            )
+                        images.append(self._gblur(self.images_grayf[fid], i_blur))
 
-            falign_ret = py_falign(
-                depths=np.stack(depths),
+            P = len(pair_list)
+            # pad the pair (lane) axis to bucket sizes {1, 4, 16}: each
+            # bucket x stage is one XLA executable, so 3 buckets bound the
+            # warmup; pad lanes repeat pair 0 with zero weights (inert)
+            Pb = 1 if P == 1 else (4 if P <= 4 else 16)
+            for _ in range(Pb - P):
+                depths += depths[:2]
+                weights += [np.zeros_like(weights[0])] * 2
+                if not is_lc:
+                    poses_init += [np.zeros(6, np.float64)] * 2
+                if self.use_image_info:
+                    images += images[:2]
+
+            def shape_pairs(lst):
+                return np.stack(lst).reshape(Pb, 2, *lst[0].shape)
+
+            kwargs = dict(
+                depths=shape_pairs(depths),
                 fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
-                weights=np.stack(weights),
-                poses_init=np.stack(poses_init).astype(np.float32),
-                images=np.stack(images) if self.use_image_info else None,
+                weights=shape_pairs(weights),
                 optimize_7dof=self.mode == "mono",
-                stride=self.falign_local_link_stride,
+                stride=stride,
                 vbf=self.basefocal * self.falign_vbf_factor,
                 crw=self.falign_crw,
             )
-            consistency = np.nanmean(falign_ret["consistency_mat"])
-            visibility = np.nanmean(falign_ret["visibility_mat"])
-            gate_cv = (
-                consistency < self.mp_link_consistency_thresh
-                or visibility < self.mp_link_visibility_thresh
-            )
-            gate_rank = not gate_cv and bool(np.any(
-                np.linalg.matrix_rank(falign_ret["poses_covar"].astype(np.float64))
-                != falign_ret["poses_covar"].shape[1]
-            ))
-            self.metrics.log(
-                "local_link",
-                kf_ids=[int(k) for k in kf_ids],
-                consistency=round(float(consistency), 4),
-                visibility=round(float(visibility), 4),
-                accepted=not (gate_cv or gate_rank),
-                rejected_by="consistency/visibility" if gate_cv
-                            else ("covar_rank" if gate_rank else None),
-            )
-            if gate_cv or gate_rank:
-                return
-            self._append_falign_edges(kf_ids, falign_ret, edge_type="falign-local")
+            if is_lc:
+                rets = falign_pairs(**kwargs)  # stage 1: geometry only
+                if self.use_image_info:
+                    kwargs["images"] = shape_pairs(images)
+                    kwargs["poses_init"] = np.stack(
+                        [r["poses_ret"] for r in rets]
+                    )
+                    rets = falign_pairs(**kwargs)  # stage 2: photometric
+            else:
+                kwargs["poses_init"] = np.stack(poses_init).astype(
+                    np.float32
+                ).reshape(Pb, 2, 6)
+                if self.use_image_info:
+                    kwargs["images"] = shape_pairs(images)
+                rets = falign_pairs(**kwargs)
+
+            c_thr = (self.lc_link_consistency_thresh if is_lc
+                     else self.mp_link_consistency_thresh)
+            v_thr = (self.lc_link_visibility_thresh if is_lc
+                     else self.mp_link_visibility_thresh)
+            for i, kf_ids in enumerate(pair_list):
+                sub = rets[i]
+                consistency = np.nanmean(sub["consistency_mat"])
+                visibility = np.nanmean(sub["visibility_mat"])
+                gate_cv = consistency < c_thr or visibility < v_thr
+                gate_rank = not gate_cv and bool(np.any(
+                    np.linalg.matrix_rank(sub["poses_covar"].astype(np.float64))
+                    != sub["poses_covar"].shape[1]
+                ))
+                self.metrics.log(
+                    "lc_link" if is_lc else "local_link",
+                    kf_ids=[int(k) for k in kf_ids],
+                    consistency=round(float(consistency), 4),
+                    visibility=round(float(visibility), 4),
+                    accepted=not (gate_cv or gate_rank),
+                    rejected_by="consistency/visibility" if gate_cv
+                                else ("covar_rank" if gate_rank else None),
+                )
+                if is_lc:
+                    tag = ", rejected" if (gate_cv or gate_rank) else ""
+                    print(f"Loop closure registration score = "
+                          f"{consistency:.4f} / {visibility:.4f}{tag}")
+                if gate_cv or gate_rank:
+                    continue
+                med = (scalings[2 * i: 2 * i + 2]
+                       if is_lc and self.mode == "mono" else None)
+                self._append_falign_edges(
+                    list(kf_ids), sub,
+                    edge_type="falign-lc" if is_lc else "falign-local",
+                    median_scaling=med,
+                )
 
     def _append_falign_edges(self, kf_ids, falign_ret, edge_type, median_scaling=None):
         Tcw = T6_to_T44(falign_ret["poses_ret"])
@@ -638,64 +724,7 @@ class VOLDOR_SLAM:
     def establish_lc_links(self, kf_ids):
         """(voldor_slam.py:597-675) — two-stage: geometry-only then
         photometric refinement; mono pre-normalizes depth medians to 10."""
-        from voldor_tpu.falign.api import falign as py_falign
-
-        print("Loop closure at ", kf_ids)
-        with self._map_lock.r_locked():
-            depths, scalings, weights, images = [], [], [], []
-            for fid in kf_ids:
-                depth = self.frames[fid].get_scaled_depth()
-                if self.mode == "mono":
-                    scaling = 10 / np.median(depth)
-                    scalings.append(scaling)
-                    depth = depth * scaling
-                depth = self._gblur(depth, self.falign_lc_depth_gblur_width)
-                depths.append(depth)
-                weights.append(self.frames[fid].depth_conf)
-                if self.use_image_info:
-                    if not self.image_loader_sync(fid):
-                        raise RuntimeError("Image loader not working or files are missing.")
-                    images.append(
-                        self._gblur(self.images_grayf[fid], self.falign_lc_image_gblur_width)
-                    )
-
-            kwargs = dict(
-                depths=np.stack(depths),
-                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
-                weights=np.stack(weights),
-                optimize_7dof=self.mode == "mono",
-                stride=self.falign_lc_link_stride,
-                vbf=self.basefocal * self.falign_vbf_factor,
-                crw=self.falign_crw,
-            )
-            falign_ret = py_falign(**kwargs)
-            if self.use_image_info:
-                kwargs["images"] = np.stack(images)
-                kwargs["poses_init"] = falign_ret["poses_ret"]
-                falign_ret = py_falign(**kwargs)
-
-            consistency = np.nanmean(falign_ret["consistency_mat"])
-            visibility = np.nanmean(falign_ret["visibility_mat"])
-            if (
-                consistency < self.lc_link_consistency_thresh
-                or visibility < self.lc_link_visibility_thresh
-            ):
-                print(
-                    f"Loop closure registration score = {consistency:.4f} / "
-                    f"{visibility:.4f}, rejected"
-                )
-                return
-            if np.any(
-                np.linalg.matrix_rank(falign_ret["poses_covar"].astype(np.float64))
-                != falign_ret["poses_covar"].shape[1]
-            ):
-                return
-            print(f"Loop closure registration score = {consistency:.4f} / {visibility:.4f}")
-            if self.mode == "mono":
-                med = [float(s) for s in scalings]
-            else:
-                med = None
-            self._append_falign_edges(kf_ids, falign_ret, "falign-lc", median_scaling=med)
+        self.establish_links_batch([tuple(kf_ids)], kind="lc")
 
     # ------------------------------------------------------------------
     def append_kf(self, fid):
@@ -778,6 +807,30 @@ class VOLDOR_SLAM:
             n_lc_seen = len(self.lc_candidates)
             return updated
 
+        def _process_pending(thresh):
+            # Batch EVERY pending above-threshold cell into (at most) one
+            # local-links falign dispatch + one lc-links dispatch, instead
+            # of the reference's one-problem-per-10ms-tick host loop
+            # (voldor_slam.py:748-760). Returns True if anything ran.
+            nonlocal new_local_link_flag, new_lc_link_flag
+            Iy, Ix = np.where((priority_mat > thresh) & ~link_mask)
+            if Iy.size == 0:
+                return False
+            local_pairs, lc_pair_list = [], []
+            for y, x in zip(Iy, Ix):
+                pair = (self.kf_ids[y], self.kf_ids[x])
+                if (int(y), int(x)) in lc_pairs:
+                    lc_pair_list.append(pair)
+                    new_lc_link_flag = True
+                else:
+                    local_pairs.append(pair)
+                    new_local_link_flag = True
+                link_mask[y, x] = True
+                priority_mat[y, x] = 0
+            self.establish_links_batch(local_pairs, kind="local")
+            self.establish_links_batch(lc_pair_list, kind="lc")
+            return True
+
         while not self.end_of_vo or n_kfs_registered < len(self.kf_ids):
             n_kfs_cur = len(self.kf_ids)
             if n_kfs_cur == 0:
@@ -787,17 +840,8 @@ class VOLDOR_SLAM:
             if n_kfs_registered == n_kfs_cur:
                 if n_lc_seen < len(self.lc_candidates):
                     _merge_lc_candidates(n_kfs_cur)
-                Iy, Ix = np.unravel_index(np.argmax(priority_mat), priority_mat.shape)
-                if priority_mat[Iy, Ix] > self.mp_no_link_thresh and not link_mask[Iy, Ix]:
-                    if (Iy, Ix) in lc_pairs:
-                        new_lc_link_flag = True
-                        self.establish_lc_links([self.kf_ids[Iy], self.kf_ids[Ix]])
-                    else:
-                        new_local_link_flag = True
-                        self.establish_local_links([self.kf_ids[Iy], self.kf_ids[Ix]])
-                    link_mask[Iy, Ix] = True
-                    priority_mat[Iy, Ix] = 0
-                time.sleep(0.01)
+                if not _process_pending(self.mp_no_link_thresh):
+                    time.sleep(0.01)
             else:
                 self._block_vo_signal = True
                 priority_mat[...] = 0
@@ -820,16 +864,7 @@ class VOLDOR_SLAM:
                 _merge_lc_candidates(n_kfs_cur)
 
                 priority_mat[link_mask] = 0
-                Iy, Ix = np.where(priority_mat > self.mp_realtime_link_thresh)
-                for y, x in zip(Iy, Ix):
-                    if (y, x) in lc_pairs:
-                        new_lc_link_flag = True
-                        self.establish_lc_links([self.kf_ids[y], self.kf_ids[x]])
-                    else:
-                        new_local_link_flag = True
-                        self.establish_local_links([self.kf_ids[y], self.kf_ids[x]])
-                    link_mask[y, x] = True
-                    priority_mat[y, x] = 0
+                _process_pending(self.mp_realtime_link_thresh)
 
                 if n_kfs_cur >= next_pgo_kfid and (new_local_link_flag or new_lc_link_flag):
                     if new_lc_link_flag:
@@ -852,16 +887,7 @@ class VOLDOR_SLAM:
         # the last keyframe, voldor_slam.py:743/825-828).
         n_kfs_cur = len(self.kf_ids)
         _merge_lc_candidates(n_kfs_cur)
-        while True:
-            Iy, Ix = np.unravel_index(np.argmax(priority_mat), priority_mat.shape)
-            if priority_mat[Iy, Ix] <= self.mp_no_link_thresh or link_mask[Iy, Ix]:
-                break
-            if (Iy, Ix) in lc_pairs:
-                self.establish_lc_links([self.kf_ids[Iy], self.kf_ids[Ix]])
-            else:
-                self.establish_local_links([self.kf_ids[Iy], self.kf_ids[Ix]])
-            link_mask[Iy, Ix] = True
-            priority_mat[Iy, Ix] = 0
+        _process_pending(self.mp_no_link_thresh)
 
         self.solve_pgo()
         self._viewer_signal_map_changed = True
