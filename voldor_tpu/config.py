@@ -137,6 +137,13 @@ class VoldorConfig:
     # faster AND more accurate than the sequential reference schedule on the
     # Fisk-degraded pipeline (ate/extent 3.1% vs 9.7%; docs/ACCURACY_AB).
     pose_window_sweep: str = "hybrid"
+    # Depth-prior sampling schedule for the tracked/anchored cost:
+    # 'solve' : sample the prior maps ONCE at solve start (depth is warm-
+    #           started from the priors, so the projection barely moves;
+    #           saves ~150ms per prior per window — the prior gathers are
+    #           the only per-round gathers left). Confs refresh once at end.
+    # 'round' : reference-closer per-round resampling.
+    prior_sample_mode: str = "solve"
     # P3P correspondence source for the batched (jacobi) sweep:
     # 'traced' : reference-exact per-candidate trace (flow gathers dominate)
     # 'obs'    : hoisted/re-anchored track positions (gather-free; same

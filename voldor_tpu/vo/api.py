@@ -6,7 +6,6 @@ Same signature, shapes and return dict as the reference Cython binding
 
 from __future__ import annotations
 
-import jax
 import numpy as np
 
 from voldor_tpu.config import VoldorConfig
@@ -60,28 +59,29 @@ def voldor(
     if pad_window_to is not None:
         engine.n_flows = min(engine.n_flows, n_true)
         engine.n_flows_init = n_true
-    engine.solve()
+    engine.solve(defer_host=True)
 
-    n = min(engine.n_flows, n_true)
-    # ONE batched device->host transfer: each separate np.asarray costs a
-    # full tunnel round trip (~30ms each on the remote-TPU platform).
+    # ONE batched device->host transfer for the solve scalars AND the
+    # outputs: each device_get costs a full tunnel round trip (~30ms of
+    # latency on the remote-TPU platform regardless of payload).
     from voldor_tpu.vo.engine import _depth_confidence_jit
 
     fetch = [
-        engine.poses6[:n],
-        engine.pose_covars[:n],
+        engine.poses6[:n_true],
+        engine.pose_covars[:n_true],
         engine.depth,
         _depth_confidence_jit(
-            engine.rigidness, engine.dp_confs, np.int32(engine.n_flows)
+            engine.rigidness, engine.dp_confs, engine._st_scalars[0]
         ),
     ]
     if cfg.save_everything:
         fetch.append(engine.rigidness[:n_true])
-    host = jax.device_get(fetch)
+    host = engine.finalize_host(fetch)
+    n = min(engine.n_flows, n_true)
     ret = {
         "n_registered": n,
-        "poses": np.asarray(host[0], np.float32),
-        "poses_covar": np.asarray(host[1], np.float32),
+        "poses": np.asarray(host[0][:n], np.float32),
+        "poses_covar": np.asarray(host[1][:n], np.float32),
         "depth": np.asarray(host[2], np.float32),
         "depth_conf": np.asarray(host[3], np.float32),
     }

@@ -63,6 +63,8 @@ def _depth_round_core(
     anchored=False,
     obs_track=None,
     obs_tinb=None,
+    prior_samples=None,
+    freeze_prior_confs=False,
 ):
     """One optimize_depth call (optimize_depth.cu:462-508): optional
     FB-smoothing of the weights, proposal rounds, then rigidness refresh.
@@ -107,8 +109,19 @@ def _depth_round_core(
                     track, tinb = em.precompute_obs_tracks(flows, active_n, params)
             pr_samples = None
             if use_priors:
-                pr_samples = em.precompute_prior_samples(
-                    depth, priors, dp_pconfs, dp_confs, dp_Rs, dp_ts, params
+                # prior_samples: solve-level hoist (cfg.prior_sample_mode
+                # 'solve') — the 2D bilinear gathers of the prior maps are
+                # the only per-round gathers left in a depth round (~150ms
+                # per prior per solve on the TPU); the depth is warm-started
+                # from the priors, so the round-start projection barely
+                # moves and freezing the samples at solve start loses
+                # little (docs/ACCURACY_AB.json).
+                pr_samples = (
+                    prior_samples
+                    if prior_samples is not None
+                    else em.precompute_prior_samples(
+                        depth, priors, dp_pconfs, dp_confs, dp_Rs, dp_ts, params
+                    )
                 )
 
             def cost_fn(d):
@@ -170,7 +183,7 @@ def _depth_round_core(
             )
         else:
             rigidness = em.update_rigidness(depth, flows, Rs, ts, active_n, params)
-    if use_priors:
+    if use_priors and not freeze_prior_confs:
         dp_confs = em.update_prior_confs(depth, priors, dp_confs, dp_Rs, dp_ts, params)
     if anchored:
         if track_out is None:  # e.g. prior-only rounds: keep the old planes
@@ -181,7 +194,7 @@ def _depth_round_core(
 
 _DEPTH_STATIC = (
     "n_rand", "gstep", "lwidth", "mode", "fb", "rig_only", "use_flows",
-    "use_priors", "tracked", "use_pallas", "anchored",
+    "use_priors", "tracked", "use_pallas", "anchored", "freeze_prior_confs",
 )
 
 
@@ -327,6 +340,26 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 flows, jnp.int32(n_flows0), params
             )
 
+        # Solve-level prior-sample hoist (cfg.prior_sample_mode 'solve'):
+        # the prior maps' bilinear gathers are the only per-round gathers
+        # left in the depth rounds (~150ms per prior per solve); depth is
+        # warm-started from the priors so the solve-start projection is
+        # already near the fixed point. dp_confs then stay frozen through
+        # the loop and are refreshed once with the final depth below.
+        pr_hoisted = None
+        freeze_priors = (
+            use_priors
+            and cfg.prior_sample_mode == "solve"
+            and depth_kw["tracked"]
+            and not depth_kw["rig_only"]
+        )
+        if freeze_priors:
+            dp_Rs0 = lie.so3_exp(dp_poses6[:, :3])
+            dp_ts0 = dp_poses6[:, 3:6]
+            pr_hoisted = em.precompute_prior_samples(
+                depth, priors, dp_pconfs, dp_confs, dp_Rs0, dp_ts0, params
+            )
+
         def cond(st):
             return (st["iters_remain"] > 0) & (st["n_flows"] > 0)
 
@@ -398,6 +431,8 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 jnp.float32(cfg.fb_emm), jnp.float32(cfg.fb_no_change_prob),
                 jnp.float32(cfg.depth_range_factor),
                 obs_track=cur_track, obs_tinb=cur_tinb,
+                prior_samples=pr_hoisted,
+                freeze_prior_confs=freeze_priors,
                 **depth_kw,
             )
             if anchored:
@@ -436,7 +471,15 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
             # previous rigidness refresh.
             st0["track"] = obs_track
             st0["tinb"] = obs_tinb
-        return jax.lax.while_loop(cond, body, st0)
+        st = jax.lax.while_loop(cond, body, st0)
+        if freeze_priors:
+            # one conf refresh with the final depth (the per-round updates
+            # were skipped under the hoist; output parity for depth_conf)
+            st = dict(st)
+            st["dp_confs"] = em.update_prior_confs(
+                st["depth"], priors, st["dp_confs"], dp_Rs0, dp_ts0, params
+            )
+        return st
 
     _SOLVE_FN_CACHE[key] = solve_fn
     return solve_fn
@@ -614,9 +657,10 @@ class VoldorEngine:
             cv2.setRNGSeed(int(cfg.seed))
             flow0 = np.asarray(self.flows[0])
             h, w = flow0.shape[:2]
-            # ~8k correspondences: LMedS runtime is superlinear in points
-            # (113k points cost ~1.7s host-side; 8k are statistically ample)
-            step = max(1, round((h * w / 8000.0) ** 0.5))
+            # ~3k correspondences: LMedS runtime is superlinear in points
+            # (113k points cost ~1.7s host-side; measured on the degraded
+            # harness, 3k points match 8k's accuracy at half the time)
+            step = max(1, round((h * w / 3000.0) ** 0.5))
             ys, xs = np.mgrid[0:h:step, 0:w:step]
             p1 = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float64)
             p2 = p1 + flow0[::step, ::step].reshape(-1, 2).astype(np.float64)
@@ -638,8 +682,14 @@ class VoldorEngine:
         self.poses6 = self.poses6.at[0].set(pose0)
 
     # ------------------------------------------------------------------
-    def solve(self) -> int:
-        """The EM loop (voldor.cpp:130-149) as one fused device dispatch."""
+    def solve(self, defer_host: bool = False) -> int:
+        """The EM loop (voldor.cpp:130-149) as one fused device dispatch.
+
+        defer_host=True skips the end-of-solve scalar readback; the caller
+        must then call finalize_host(extra) — letting it merge this
+        transfer with its own output fetch into ONE tunnel round trip
+        (each device_get costs ~30ms of latency on the remote-TPU
+        platform regardless of size)."""
         cfg = self.cfg
         if self.n_depth_priors == 0:
             self.bootstrap()
@@ -658,9 +708,19 @@ class VoldorEngine:
         self.pose_covars = st["covars"]
         self.pose_densities_dev = st["densities"]
         self.pose_sample_counts_dev = st["counts"]
-        n_flows, iters_cur, rig_dens = jax.device_get(
-            (st["n_flows"], st["iters_cur"], st["rig_dens"])
-        )
+        self._st_scalars = (st["n_flows"], st["iters_cur"], st["rig_dens"])
+        if defer_host:
+            return -1
+        self.finalize_host()
+        return self.iters_cur
+
+    def finalize_host(self, extra_fetch=()):
+        """Materialize the end-of-solve scalars (+ caller extras) in ONE
+        device_get, then run host-side epilogues (KITTI ground). Returns
+        the fetched extras in order."""
+        cfg = self.cfg
+        vals = jax.device_get(tuple(self._st_scalars) + tuple(extra_fetch))
+        n_flows, iters_cur, rig_dens = vals[:3]
         self.n_flows = int(n_flows)
         self.iters_cur = int(iters_cur)
         self.iters_remain = 0
@@ -678,7 +738,7 @@ class VoldorEngine:
                 holo_width=cfg.kitti_ground_holo_width,
                 ms_kernel_var=cfg.kitti_ground_meanshift_kernel_var,
             )
-        return self.iters_cur
+        return list(vals[3:])
 
     def solve_stepwise(self) -> int:
         """Reference-structured host loop (one dispatch per phase). Kept for
