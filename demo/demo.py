@@ -25,6 +25,8 @@ parser.add_argument("--save_depths", type=str)
 parser.add_argument("--save_ply", type=str)
 parser.add_argument("--save_map", type=str, help="write a resumable map checkpoint at the end")
 parser.add_argument("--load_map", type=str, help="resume from a map checkpoint")
+parser.add_argument("--viewer", action="store_true",
+                    help="open the interactive GL map window (needs DISPLAY)")
 parser.add_argument("--metrics", type=str,
                     help="write per-window/link/PGO JSON-line metrics to this file")
 parser.add_argument("--debug_dir", type=str,
@@ -82,15 +84,28 @@ if __name__ == "__main__":
         ).start()
         slam.disp_loader_sync(0, block_when_uninit=True)
 
+    # Live GL window when requested AND a display exists; headless watch
+    # loop otherwise (same data path either way — gl_viewer.py docstring).
+    from voldor_tpu.slam.gl_viewer import GLViewer
+
+    gl = None
+    if opt.viewer and GLViewer.available():
+        gl = GLViewer(slam)
+    elif opt.viewer:
+        print("Note: --viewer requested but no DISPLAY/PyOpenGL; headless.")
     viewer = VOLDOR_Viewer(slam)
-    viewer_thread = threading.Thread(target=viewer.start, daemon=True)
-    viewer_thread.start()
+    if gl is None:
+        viewer_thread = threading.Thread(target=viewer.start, daemon=True)
+        viewer_thread.start()
 
     vo_thread = threading.Thread(target=slam.vo_thread)
     vo_thread.start()
     if opt.enable_mapping:
         mapping_thread = threading.Thread(target=slam.mapping_thread)
         mapping_thread.start()
+
+    if gl is not None:
+        gl.start()  # blocks in the GLUT loop; 'q' exits the process
 
     vo_thread.join()
     if opt.enable_mapping:

@@ -107,3 +107,24 @@ def test_config_to_string_parse_print(capsys):
     cfg = VoldorConfig.from_string("--silent --lambda 0.2 --max_iters 3")
     s = cfg.to_string()
     assert "--lambda 0.2" in s and "--silent" in s and "--max_iters 3" in s
+
+
+def test_gl_viewer_headless_gating():
+    """GLViewer must gate cleanly when no display exists; the data path is
+    the shared VOLDOR_Viewer (rebuild_points / save_ply)."""
+    import os
+
+    from voldor_tpu.slam.gl_viewer import GLViewer
+
+    if not os.environ.get("DISPLAY"):
+        assert GLViewer.available() is False
+    # constructible regardless (only start() needs GL)
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    slam = VOLDOR_SLAM(mode="mono")
+    v = GLViewer(slam)
+    v._on_key(b"w", 0, 0)
+    assert v.point_size == 3
+    v._on_click(3, 0, 0, 0)  # scroll zoom in
+    assert v.view_box < 30.0
+    v._on_motion(5, 5)

@@ -43,7 +43,7 @@ PLANES = [
 ]
 
 
-def build(degraded: bool):
+def build(degraded: bool, seed: int = 7):
     import jax.numpy as jnp
 
     from voldor_tpu.ops import lie
@@ -67,7 +67,7 @@ def build(degraded: bool):
         # reasoning as tests/test_degraded.py MOVING_OBJECT) — so it moves
         # mostly in -y.
         flows = degrade_flows(
-            flows, seed=7, noise_scale=1.0, n_occlusions=4,
+            flows, seed=seed, noise_scale=1.0, n_occlusions=4,
             moving_object=dict(x=18, y=20, w=26, h=22, motion=(0.5, -3.0)),
         )
     return flows, Ts
@@ -124,25 +124,43 @@ def main():
         ("default_anch_hyb_obs", ""),
         ("reference_exact",
          "--pose_window_sweep seq --pose_collect_mode traced "
-         "--depth_cost_mode projected"),
-        ("seq_tracked_r1",
-         "--pose_window_sweep seq --pose_collect_mode traced "
-         "--depth_cost_mode tracked"),
-        ("seq_anchored",
-         "--pose_window_sweep seq --pose_collect_mode traced "
-         "--depth_cost_mode anchored"),
-        ("default_stride2", "--pose_sample_stride 2"),
+         "--depth_cost_mode projected --pose_sample_stride 1 "
+         "--prior_sample_mode round"),
+        ("stride1", "--pose_sample_stride 1"),
+        ("jacobi_warmstart", "--pose_window_sweep jacobi"),
+        ("prior_round", "--prior_sample_mode round"),
     ]
+
+    # The degraded pipeline sits near a failure cliff: a SINGLE noise seed
+    # is a lottery (observed: the same knob flipping between 10% and 118%
+    # t_rel across harness revisions). Every degraded number is therefore
+    # the MEDIAN over several noise seeds, with the per-seed values kept.
+    DEGRADED_SEEDS = (7, 19, 101, 255, 1033)
 
     out = {}
     for degraded in (False, True):
-        flows, Ts = build(degraded)
         for name, cfg in combos:
             key = f"{'degraded' if degraded else 'clean'}/{name}"
-            try:
-                out[key] = run_pipeline(flows, Ts, cfg)
-            except Exception as e:  # record, keep sweeping
-                out[key] = {"error": repr(e)}
+            seeds = DEGRADED_SEEDS if degraded else (7,)
+            per_seed = []
+            for s in seeds:
+                flows, Ts = build(degraded, seed=s)
+                try:
+                    per_seed.append(run_pipeline(flows, Ts, cfg))
+                except Exception as e:  # record, keep sweeping
+                    per_seed.append({"error": repr(e)})
+            metrics = [r for r in per_seed if "error" not in r]
+            if not metrics:
+                out[key] = {"error": per_seed[0].get("error", "all failed")}
+            else:
+                med = {
+                    k: round(float(np.median([m[k] for m in metrics])), 5)
+                    for k in metrics[0]
+                }
+                med["n_seeds"] = len(metrics)
+                if degraded:
+                    med["per_seed_t_rel"] = [m["t_rel_pct"] for m in metrics]
+                out[key] = med
             print(json.dumps({key: out[key]}), flush=True)
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs",

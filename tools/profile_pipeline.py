@@ -1,10 +1,9 @@
-"""Per-window attribution of the bench pipeline: device solve vs host glue.
+"""Pipeline-level phase timing of the VO bench workload on the TPU.
 
-Runs the exact bench sequence (24 synthetic flows at 613x185, mono, priors
-from keyframes) and times, per process_vo window: the py_voldor call
-(upload + fused solve + readback), and the rest of the host bookkeeping
-(covisibility stepping, keyframe policy). Medians of in-process trials per
-PLATFORM_NOTES.md.
+Times each voldor() call and its phases (bootstrap / fused solve dispatch /
+host finalize) across the bench sequence, after a full warmup pass.
+Writes docs/PERF_PIPELINE.json. Single-process medians per
+docs/PLATFORM_NOTES.md; cross-process comparisons are meaningless.
 """
 
 from __future__ import annotations
@@ -20,61 +19,62 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    import bench
+    import jax  # noqa: F401
 
-    import voldor_tpu.vo.api as voapi
+    import bench as B
+    import voldor_tpu.vo.api as A
+    import voldor_tpu.vo.engine as E
 
-    flows, Ts_true = bench.build_sequence(24)
+    flows, _ = B.build_sequence(24)
 
-    # wrap the voldor API to time each window's device call
-    calls = []
-    real_voldor = voapi.voldor
+    phases = []
+    orig_solve = E.VoldorEngine.solve
+    orig_boot = E.VoldorEngine.bootstrap
+    orig_fin = E.VoldorEngine.finalize_host
+    orig_voldor = A.voldor
 
-    def timed_voldor(*a, **kw):
-        t0 = time.perf_counter()
-        ret = real_voldor(*a, **kw)
-        calls.append(time.perf_counter() - t0)
-        return ret
+    def wrap(name, orig):
+        def f(*a, **kw):
+            t0 = time.perf_counter()
+            r = orig(*a, **kw)
+            phases.append((name, time.perf_counter() - t0))
+            return r
+        return f
 
-    voapi.voldor = timed_voldor
+    E.VoldorEngine.solve = wrap("solve_dispatch", orig_solve)
+    E.VoldorEngine.bootstrap = wrap("bootstrap", orig_boot)
+    E.VoldorEngine.finalize_host = wrap("finalize_host", orig_fin)
+    A.voldor = wrap("voldor_total", orig_voldor)
 
-    # warmup (compile)
-    slam = bench._make_slam(flows[:10])
+    slam = B._make_slam(flows)  # warmup: compile everything
     while slam.process_vo():
         pass
-    calls.clear()
+    phases.clear()
 
-    windows = []
-    slam = bench._make_slam(flows)
-    t_all0 = time.perf_counter()
-    while True:
-        t0 = time.perf_counter()
-        more = slam.process_vo()
-        windows.append(time.perf_counter() - t0)
-        if not more:
-            break
-    total = time.perf_counter() - t_all0
+    slam = B._make_slam(flows)
+    t0 = time.perf_counter()
+    marks = []
+    prev = t0
+    while slam.process_vo():
+        now = time.perf_counter()
+        marks.append(round(1000 * (now - prev), 1))
+        prev = now
+    total = time.perf_counter() - t0
 
-    n_frames = int(slam.N_FRAMES)
+    agg: dict = {}
+    for k, v in phases:
+        agg.setdefault(k, []).append(round(1000 * v, 1))
     out = {
-        "n_windows": len(windows),
-        "n_vo_calls": len(calls),
-        "n_frames": n_frames,
-        "fps": round(n_frames / total, 3),
+        "fps": round(int(slam.N_FRAMES) / total, 3),
         "total_s": round(total, 3),
-        "window_ms": [round(1e3 * t, 1) for t in windows],
-        "voldor_call_ms": [round(1e3 * t, 1) for t in calls],
-        "host_glue_ms": round(
-            1e3 * (sum(windows) - sum(calls)) / max(len(calls), 1), 1
-        ),
+        "window_ms": marks,
+        "phase_ms": agg,
     }
-    print(json.dumps(out, indent=1))
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "PERF_PIPELINE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"# wrote {path}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

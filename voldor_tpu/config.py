@@ -63,17 +63,13 @@ class VoldorConfig:
     pose_sample_max_depth: float = 1000.0
     max_trace_on_flow: int = 3
     # TPU knob (no reference analog): collect P3P correspondences on a
-    # strided pixel subgrid. The scattered bilinear flow gathers in the
-    # collect trace dominate the camera sweep on TPU and scale with the
-    # number of positions; the P3P stage only draws 4*n_poses_to_sample
-    # random correspondences from the pool anyway. 1 = reference-exact.
-    # Default 2: on the Fisk-degraded harness stride 2 is dramatically MORE
-    # robust than the reference-exact full grid (t_rel 9.8% vs 118% with
-    # otherwise-default knobs; clean-scene accuracy identical to stride 1 —
-    # docs/ACCURACY_AB.json), and it is faster. The strided subgrid thins
-    # locally-correlated corrupted samples (occluders / object interiors)
-    # from the P4P pool while exact correspondences stay exact.
-    pose_sample_stride: int = 2
+    # strided pixel subgrid. 1 = reference-exact (the default): on the
+    # multi-seed Fisk-degraded harness the full grid is the most robust
+    # setting (median t_rel 9.9% vs 33.8% at stride 2 over 5 noise seeds —
+    # docs/ACCURACY_AB.json; single-seed comparisons of this knob flip
+    # randomly, see tools/ab_accuracy.py). With the gather-free obs
+    # collect the stride no longer buys meaningful TPU time; keep 1.
+    pose_sample_stride: int = 1
     rigidness_threshold: float = 0.5
     rigidness_sum_threshold: float = 1.0
 

@@ -96,6 +96,7 @@ class VOLDOR_SLAM:
 
         self.metrics = MetricsLogger()  # enable with .metrics.open(path)
         self.debug_dir = None  # set to dump per-window debug artifacts
+        self.vo_pose_warmstart = True  # constant-velocity window pose init
         self._use_loop_closure = False
         self._block_vo_signal = False
         self._map_lock = RWLock()
@@ -428,6 +429,22 @@ class VOLDOR_SLAM:
             if self.mode == "stereo" and not self.disp_loader_sync(self.fid_cur):
                 raise RuntimeError("Disparity loader not working or files are missing.")
 
+            # Constant-velocity pose warm start (TPU deviation, A/B'd in
+            # docs/ACCURACY_AB.json): every window transition initializes
+            # at the last solved transition's relative pose, which gives
+            # the batched (Jacobi) camera sweep plausible chain transforms
+            # on its first EM iteration. The reference always starts from
+            # zero (voldor.cpp:130).
+            poses_init = None
+            if self.vo_pose_warmstart and self.fid_cur >= 1 and depth_priors:
+                # frames[] holds 0..fid_cur-1; the current frame's
+                # world->cam is Twc_cur (frames[fid] appends after solve)
+                rel = self.Twc_cur @ self.frames[self.fid_cur - 1].Tcw
+                poses_init = np.tile(
+                    np.asarray(T44_to_T6(rel), np.float32),
+                    (self.voldor_winsize, 1),
+                )
+
             vo_ret = py_voldor(
                 flows=np.stack(
                     self.flows[self.fid_cur : self.fid_cur + self.voldor_winsize]
@@ -441,6 +458,7 @@ class VOLDOR_SLAM:
                 config=self.voldor_config + " " + self.voldor_user_config
                 + (" --save_everything" if self.debug_dir else ""),
                 pad_window_to=self.voldor_winsize,
+                poses_init=poses_init,
             )
 
             if self.debug_dir:

@@ -26,6 +26,7 @@ def voldor(
     depth_prior_pconfs: np.ndarray | None = None,
     config: str = "",
     pad_window_to: int | None = None,
+    poses_init: np.ndarray | None = None,
 ) -> dict:
     """Run one VO window.
 
@@ -55,6 +56,7 @@ def voldor(
         depth_priors=depth_priors,
         depth_prior_poses=depth_prior_poses,
         depth_prior_pconfs=depth_prior_pconfs,
+        poses_init=poses_init,
     )
     if pad_window_to is not None:
         engine.n_flows = min(engine.n_flows, n_true)

@@ -537,6 +537,7 @@ class VoldorEngine:
         depth_priors: np.ndarray | None = None,
         depth_prior_poses: np.ndarray | None = None,
         depth_prior_pconfs: np.ndarray | None = None,
+        poses_init: np.ndarray | None = None,
     ):
         """Load a window (voldor.cpp:4-128). flows: (N, h, w, 2) float32.
 
@@ -599,6 +600,15 @@ class VoldorEngine:
         self.flows = _put_f16(flows) if compress else jnp.asarray(flows)
         self.rigidness = jnp.ones((N, h, w), jnp.float32)
         self.poses6 = jnp.zeros((N, 6), jnp.float32)
+        if poses_init is not None:
+            # Warm-started per-transition poses (a SLAM-level prediction,
+            # e.g. constant velocity). The reference always starts at zero
+            # (voldor.cpp:130); a good init mainly benefits the FIRST
+            # batched (Jacobi) sweep, whose chain transforms need plausible
+            # window poses. The meanshift seeding behavior is unchanged
+            # (successive_pose still requires a prior sample count).
+            pi = np.asarray(poses_init, np.float32)
+            self.poses6 = self.poses6.at[: pi.shape[0]].set(jnp.asarray(pi))
         self.pose_covars = jnp.zeros((N, 6, 6), jnp.float32)
         self.pose_densities_dev = jnp.zeros(N, jnp.float32)
         self.pose_sample_counts_dev = jnp.zeros(N, jnp.int32)
