@@ -5,20 +5,25 @@ Runs the full monocular VO pipeline (VOLDOR_SLAM.process_vo over a
 613x185 compute grid, BASELINE.md) — covisibility-gated window stepping
 with temporal/spatial keyframe depth priors, exactly as in production —
 verifies Sim3-aligned ATE against ground truth, and reports the sustained
-frame rate.
+frame rate. A full-SLAM end-to-end record (VO + mapping links + loop
+closure + PGO) is nested under "slam_e2e" when the time budget allows.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its README
 claims real-time operation at the recommended 10 Hz KITTI input rate on an
 unspecified CUDA GPU, so vs_baseline is measured against 10 frames/sec.
 
-The remote-TPU backend's throughput fluctuates up to ~3.5x between
-processes (a degraded-worker mode that is sticky for a process's lifetime;
-docs/PLATFORM_NOTES.md). The measurement runs in N_RUNS child processes
-and the MEDIAN run is reported; every run's fps is included under "runs"
-so the worker lottery stays visible.
+Budget discipline (round 2 timed out with NO number on record): ONE child
+process runs VO warmup + N_TRIALS in-process timed passes (median — the
+remote-TPU worker lottery is per-process, docs/PLATFORM_NOTES.md), prints
+its VO JSON line IMMEDIATELY, then runs the SLAM e2e pass in the SAME
+process (reusing every compiled VO executable, which dominates child wall
+time). The parent relays each child line as it arrives and enforces a
+self-imposed deadline (VOLDOR_BENCH_BUDGET_S, default 840 s) so the driver
+always finds a parseable JSON tail no matter where time runs out.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10, "runs": [...]}
+The LAST JSON line on stdout is the headline record:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10,
+   "runs": [...], "slam_e2e": {...}?}
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ import time
 
 import numpy as np
 
-N_RUNS = 3
+N_TRIALS = 3  # in-process timed VO passes (median reported)
 
 BASELINE_FPS = 10.0  # reference README.md:160 recommended KITTI input rate
 WINDOW = 5
@@ -197,20 +202,28 @@ def _run_slam_once(flows, images_bgri, images_grayf):
     vo.join(timeout=600)
     mp.join(timeout=600)
     dt = time.perf_counter() - t0
+    # a hung thread must be visible, not silently measured as a partial map
+    timed_out = vo.is_alive() or mp.is_alive()
     est = np.stack([f.Tcw for f in slam.frames])
-    return slam, dt, est
+    return slam, dt, est, timed_out
 
 
 def run_slam_e2e():
-    """Full-SLAM benchmark (VERDICT r1 #5): mapping + links + LC + PGO."""
+    """Full-SLAM benchmark (VERDICT r1 #5): mapping + links + LC + PGO.
+
+    Two passes: warmup then timed. When the VO benchmark already ran in
+    THIS process every VO executable is compiled, so the warmup pass only
+    pays the falign/PGO compiles (the round-2 driver timeout was a separate
+    SLAM child recompiling everything from scratch, twice).
+    """
     import voldor_tpu  # noqa: F401
     from voldor_tpu.utils.evaluation import ate_rmse
 
     flows, images_bgri, images_grayf, Ts_true = build_slam_scene(60)
 
-    # warmup pass compiles every executable (VO windows, falign, PGO)
+    # warmup pass compiles whatever this process hasn't compiled yet
     _run_slam_once(flows, images_bgri, images_grayf)
-    slam, dt, est = _run_slam_once(flows, images_bgri, images_grayf)
+    slam, dt, est, timed_out = _run_slam_once(flows, images_bgri, images_grayf)
 
     gt = np.linalg.inv(Ts_true)
     ate = ate_rmse(est.astype(np.float64), gt, with_scale=True)
@@ -218,23 +231,23 @@ def run_slam_e2e():
         np.linalg.norm(gt[:, :3, 3] - gt[0, :3, 3], axis=1).max()
     )
     n_lc_edges = sum(1 for e in slam.edges if e.edge_type == "falign-lc")
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_slam_e2e_frames_per_sec_per_chip",
-                "value": round(int(slam.N_FRAMES) / dt, 3),
-                "unit": "frames/s (613x185 mono SLAM: VO+links+LC+PGO)",
-                "wall_s": round(dt, 3),
-                "n_frames": int(slam.N_FRAMES),
-                "n_keyframes": len(slam.kf_ids),
-                "n_edges": len(slam.edges),
-                "n_lc_edges": n_lc_edges,
-                "ate_rmse": round(ate, 5),
-                "scene_extent": round(scene_extent, 2),
-                "accuracy_ok": bool(ate < 0.02 * scene_extent),
-            }
-        )
-    )
+    rec = {
+        "metric": "kitti_slam_e2e_frames_per_sec_per_chip",
+        "value": round(int(slam.N_FRAMES) / dt, 3),
+        "unit": "frames/s (613x185 mono SLAM: VO+links+LC+PGO)",
+        "wall_s": round(dt, 3),
+        "n_frames": int(slam.N_FRAMES),
+        "n_keyframes": len(slam.kf_ids),
+        "n_edges": len(slam.edges),
+        "n_lc_edges": n_lc_edges,
+        "ate_rmse": round(ate, 5),
+        "scene_extent": round(scene_extent, 2),
+        "accuracy_ok": bool(ate < 0.02 * scene_extent and not timed_out),
+    }
+    if timed_out:
+        rec["timed_out"] = True
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def _make_slam(flows):
@@ -254,7 +267,10 @@ def _make_slam(flows):
     return slam
 
 
-def run_once():
+def run_once(n_trials: int = N_TRIALS):
+    """VO benchmark: one compile warmup pass + n_trials timed in-process
+    passes; prints the MEDIAN trial (PLATFORM_NOTES prescribes in-process
+    medians — per-trial throughput fluctuates ~2x on the remote backend)."""
     import voldor_tpu  # noqa: F401
     from voldor_tpu.utils.evaluation import ate_rmse
 
@@ -267,41 +283,56 @@ def run_once():
     while slam.process_vo():
         pass
 
-    # timed: the real VO pipeline (windows warm-started by temporal/spatial
-    # keyframe depth priors — only the first window pays the bootstrap)
-    slam = _make_slam(flows)
-    t0 = time.perf_counter()
-    while slam.process_vo():
-        pass
-    dt = time.perf_counter() - t0
-    n_frames = int(slam.N_FRAMES)
-    fps = n_frames / dt
-
-    # accuracy: Sim3-aligned ATE against ground truth
-    est = np.stack([f.Tcw for f in slam.frames])  # cam->world (see frame.py)
     gt = np.linalg.inv(Ts_true)  # (n_flows+1, 4, 4) cam->world
-    ate = ate_rmse(est.astype(np.float64), gt, with_scale=True)
     scene_extent = float(
         np.linalg.norm(gt[:, :3, 3] - gt[0, :3, 3], axis=1).max()
     )
-    ok = bool(ate < 0.02 * scene_extent)
 
-    fps_out = fps if ok else 0.0
+    trials = []
+    for _ in range(max(1, n_trials)):
+        # timed: the real VO pipeline (windows warm-started by temporal/
+        # spatial keyframe depth priors — only window 0 pays the bootstrap)
+        slam = _make_slam(flows)
+        t0 = time.perf_counter()
+        while slam.process_vo():
+            pass
+        dt = time.perf_counter() - t0
+        n_frames = int(slam.N_FRAMES)
+        est = np.stack([f.Tcw for f in slam.frames])  # cam->world (frame.py)
+        ate = ate_rmse(est.astype(np.float64), gt, with_scale=True)
+        ok = bool(ate < 0.02 * scene_extent)
+        trials.append({
+            "fps": (n_frames / dt) if ok else 0.0,
+            "dt": dt, "ate": ate, "ok": ok, "n_frames": n_frames,
+        })
+
+    trials.sort(key=lambda r: r["fps"])
+    med = trials[len(trials) // 2]
     print(
         json.dumps(
             {
                 "metric": "kitti_vo_frames_per_sec_per_chip",
-                "value": round(fps_out, 3),
+                "value": round(med["fps"], 3),
                 "unit": "frames/s (613x185 mono VO pipeline, window 5)",
-                "vs_baseline": round(fps_out / BASELINE_FPS, 3),
-                "pipeline_s": round(dt, 3),
-                "n_frames": n_frames,
-                "accuracy_ok": ok,
-                "ate_rmse": round(ate, 5),
+                "vs_baseline": round(med["fps"] / BASELINE_FPS, 3),
+                "pipeline_s": round(med["dt"], 3),
+                "n_frames": med["n_frames"],
+                "accuracy_ok": med["ok"],
+                "ate_rmse": round(med["ate"], 5),
                 "scene_extent": round(scene_extent, 2),
+                "runs": [round(r["fps"], 3) for r in trials],
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def run_all():
+    """Child mode 'all': VO benchmark line first (the headline number must
+    be on stdout before anything slow happens), then the SLAM e2e line in
+    the SAME process so it reuses every compiled VO executable."""
+    run_once()
+    run_slam_e2e()
 
 
 def _last_json_line(text):
@@ -318,40 +349,70 @@ def main():
     if child == "slam":
         run_slam_e2e()
         return
+    if child == "all":
+        run_all()
+        return
     if child:
         run_once()
         return
-    results = []
-    env = dict(os.environ, VOLDOR_BENCH_CHILD="1")
-    for _ in range(N_RUNS):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1200,
-        )
-        r = _last_json_line(out.stdout)
-        if r is not None:
-            results.append(r)
-    if not results:
-        run_once()  # children failed (e.g. no subprocess allowed): run inline
-        return
-    results.sort(key=lambda r: r["value"])
-    median = results[len(results) // 2]
-    median["runs"] = [r["value"] for r in results]
 
-    # full-SLAM end-to-end line (VERDICT r1 #5) — one child, folded into the
-    # single output line as a nested record (driver contract: ONE json line)
+    # Parent: ONE child process (mode 'all'), stdout streamed line-by-line.
+    # Every JSON line the child prints is relayed IMMEDIATELY, so whatever
+    # the driver's timeout is, the tail always carries the latest complete
+    # record. A self-imposed deadline kills the child cleanly and the final
+    # (combined) record is printed from whatever arrived.
+    deadline = time.monotonic() + float(
+        os.environ.get("VOLDOR_BENCH_BUDGET_S", "840")
+    )
+    records = []
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=dict(os.environ, VOLDOR_BENCH_CHILD="slam"),
-            capture_output=True, text=True, timeout=1800,
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=dict(os.environ, VOLDOR_BENCH_CHILD="all"),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
-        slam_r = _last_json_line(out.stdout)
-        if slam_r is not None:
-            median["slam_e2e"] = slam_r
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        while True:
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                proc.kill()
+                break
+            if not sel.select(timeout=min(remain, 5.0)):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.readline()
+            if chunk == "":
+                break
+            try:
+                rec = json.loads(chunk.strip())
+            except json.JSONDecodeError:
+                continue
+            records.append(rec)
+            if rec.get("metric") == "kitti_vo_frames_per_sec_per_chip":
+                print(json.dumps(rec), flush=True)  # headline out EARLY
+        proc.wait(timeout=30)
     except Exception:
         pass
-    print(json.dumps(median))
+
+    vo = next(
+        (r for r in records if r.get("metric") == "kitti_vo_frames_per_sec_per_chip"),
+        None,
+    )
+    slam_r = next(
+        (r for r in records if r.get("metric") == "kitti_slam_e2e_frames_per_sec_per_chip"),
+        None,
+    )
+    if vo is None:
+        run_once(n_trials=1)  # child never delivered: run inline, last resort
+        return
+    if slam_r is not None:
+        vo = dict(vo)
+        vo["slam_e2e"] = slam_r
+    print(json.dumps(vo), flush=True)
 
 
 if __name__ == "__main__":

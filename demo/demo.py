@@ -104,20 +104,37 @@ if __name__ == "__main__":
         mapping_thread = threading.Thread(target=slam.mapping_thread)
         mapping_thread.start()
 
+    _epilogue_done = [False]
+
+    def _epilogue():
+        # idempotent: runs on the normal path AND from the GL viewer's
+        # hard-exit 'q' handler (classic GLUT cannot leave its main loop)
+        if _epilogue_done[0]:
+            return
+        _epilogue_done[0] = True
+        if opt.save_poses is not None:
+            slam.save_poses(opt.save_poses, format="KITTI")
+        if opt.save_depths is not None:
+            slam.save_depth_maps(opt.save_depths)
+        if opt.save_ply is not None:
+            viewer.save_ply(opt.save_ply)
+        if opt.save_map is not None:
+            from voldor_tpu.slam.checkpoint import save_map
+
+            save_map(slam, opt.save_map)
+
     if gl is not None:
-        gl.start()  # blocks in the GLUT loop; 'q' exits the process
+        gl.on_exit = _epilogue
+        # polls with freeglut: returns on 'q' or when the SLAM threads are
+        # done, so the epilogue below still runs (classic GLUT: the 'q'
+        # handler runs _epilogue itself before os._exit)
+        gl.start(
+            done=lambda: not vo_thread.is_alive()
+            and (not opt.enable_mapping or not mapping_thread.is_alive())
+        )
 
     vo_thread.join()
     if opt.enable_mapping:
         mapping_thread.join()
 
-    if opt.save_poses is not None:
-        slam.save_poses(opt.save_poses, format="KITTI")
-    if opt.save_depths is not None:
-        slam.save_depth_maps(opt.save_depths)
-    if opt.save_ply is not None:
-        viewer.save_ply(opt.save_ply)
-    if opt.save_map is not None:
-        from voldor_tpu.slam.checkpoint import save_map
-
-        save_map(slam, opt.save_map)
+    _epilogue()

@@ -132,6 +132,12 @@ class VoldorConfig:
     # Default 'hybrid': with collect_mode 'obs' + cost 'anchored' it is both
     # faster AND more accurate than the sequential reference schedule on the
     # Fisk-degraded pipeline (ate/extent 3.1% vs 9.7%; docs/ACCURACY_AB).
+    # WARNING: plain 'jacobi' (batched from EM iteration 1, when the window
+    # poses are still zero) is for ablation/testing ONLY — it loses the
+    # Gauss-Seidel chain on the iteration that needs it and measured 22.8%
+    # t_rel on a CLEAN scene (docs/ACCURACY_AB.json clean/jacobi_warmstart).
+    # 'seq' and 'hybrid' are the supported production values; the engine
+    # prints a loud warning when 'jacobi' is selected.
     pose_window_sweep: str = "hybrid"
     # Depth-prior sampling schedule for the tracked/anchored cost:
     # 'solve' : sample the prior maps ONCE at solve start (depth is warm-

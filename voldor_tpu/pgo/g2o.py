@@ -8,9 +8,29 @@ files (sphere2500, torus, ...) as a correctness oracle.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
-from voldor_tpu.ops import lie
+
+def _quat_to_rvec64(qw, qx, qy, qz):
+    """Host float64 quaternion -> rotation vector (file IO stays at full
+    precision; the device lie ops would truncate to f32 with a warning)."""
+    v = np.asarray([qx, qy, qz], np.float64)
+    n = float(np.linalg.norm(v))
+    w = float(qw)
+    theta = 2.0 * np.arctan2(n, w)
+    if theta > np.pi:  # shorter arc
+        theta -= 2.0 * np.pi
+    if n < 1e-12:
+        return np.zeros(3, np.float64)
+    return v / n * theta
+
+
+def _rvec_to_quat64(rvec):
+    rvec = np.asarray(rvec, np.float64)
+    theta = float(np.linalg.norm(rvec))
+    if theta < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    ax = rvec / theta
+    return np.concatenate([[np.cos(theta / 2)], np.sin(theta / 2) * ax])
 
 
 def read_g2o(path: str):
@@ -29,9 +49,7 @@ def read_g2o(path: str):
             if tok[0] == "VERTEX_SE3:QUAT":
                 vid = int(tok[1])
                 x, y, z, qx, qy, qz, qw = map(float, tok[2:9])
-                rvec = np.asarray(
-                    lie.quat_to_rvec(jnp.asarray([qw, qx, qy, qz], jnp.float64))
-                )
+                rvec = _quat_to_rvec64(qw, qx, qy, qz)
                 ids.append(vid)
                 poses.append([*rvec, x, y, z, 0.0])
             elif tok[0] == "EDGE_SE3:QUAT":
@@ -44,9 +62,7 @@ def read_g2o(path: str):
                     for b in range(a, 6):
                         info6[a, b] = info6[b, a] = upper[k]
                         k += 1
-                rvec = np.asarray(
-                    lie.quat_to_rvec(jnp.asarray([qw, qx, qy, qz], jnp.float64))
-                )
+                rvec = _quat_to_rvec64(qw, qx, qy, qz)
                 # g2o information is in (t, q) order; convert to a 7x7
                 # covariance in our (rvec, t, s) wire order so build_problem's
                 # standard transform (types.h:103-125) round-trips it.
@@ -78,7 +94,7 @@ def read_g2o(path: str):
 
 def write_g2o(path: str, ids, poses7):
     """Write VERTEX_SE3:QUAT lines (id x y z qx qy qz qw)."""
-    q = np.asarray(lie.quat_from_rvec(jnp.asarray(poses7[:, :3])))
+    q = np.stack([_rvec_to_quat64(r) for r in np.asarray(poses7)[:, :3]])
     with open(path, "w") as f:
         for i, pid in enumerate(ids):
             x, y, z = poses7[i, 3:6]

@@ -51,6 +51,12 @@ class GLViewer:
         self.hide_cams = 0
         self._mouse = {"x": 0, "y": 0, "l": False, "r": False}
         self._dirty = True
+        self._quit = False
+        self._poll_loop = None  # set by start(); freeglut's glutMainLoopEvent
+        # Called once before the viewer tears the process down on 'q'
+        # (classic GLUT's main loop cannot return, so the hard-exit path
+        # must run the caller's epilogue — demo.py's --save_* flags).
+        self.on_exit = None
 
     # -- data ----------------------------------------------------------
     def _refresh(self):
@@ -128,7 +134,16 @@ class GLViewer:
     def _on_key(self, bkey, x, y):
         key = bkey.decode("utf-8").lower()
         if key == "q":
-            os._exit(0)
+            self._quit = True
+            if self._poll_loop is None:
+                # classic GLUT: glutMainLoop can never return, so run the
+                # caller's epilogue (saves) here, then hard-exit
+                if self.on_exit is not None:
+                    try:
+                        self.on_exit()
+                    except Exception:
+                        pass
+                os._exit(0)
         elif key == "r":
             self.center[...] = 0
             self.euler[...] = 0
@@ -172,15 +187,27 @@ class GLViewer:
             self.center[1] -= dy * self.view_box / 300.0
 
     # -- loop ----------------------------------------------------------
-    def start(self):
-        """Open the window and block in the GLUT main loop (run the SLAM
-        threads first — the reference does the same, demo.py:77-90)."""
+    def start(self, done=None):
+        """Open the window and run the GLUT loop (run the SLAM threads
+        first — the reference does the same, demo.py:77-90).
+
+        With freeglut (`glutMainLoopEvent` available) the loop POLLS, so it
+        returns to the caller on 'q' or once `done()` (e.g. "SLAM threads
+        finished") goes true — letting demo.py run its --save_* epilogue.
+        Classic GLUT has no returning loop; there the 'q' handler runs
+        `self.on_exit` before the unavoidable `os._exit` (see _on_key)."""
         from OpenGL.GLUT import (
             GLUT_DEPTH, GLUT_DOUBLE, GLUT_RGBA, glutCreateWindow,
             glutDisplayFunc, glutIdleFunc, glutInit, glutInitDisplayMode,
             glutInitWindowSize, glutKeyboardFunc, glutMainLoop,
             glutMotionFunc, glutMouseFunc, glutPostRedisplay,
         )
+
+        try:
+            from OpenGL.GLUT import glutMainLoopEvent  # freeglut extension
+        except ImportError:
+            glutMainLoopEvent = None
+        self._poll_loop = glutMainLoopEvent
 
         glutInit()
         glutInitDisplayMode(GLUT_RGBA | GLUT_DOUBLE | GLUT_DEPTH)
@@ -191,4 +218,8 @@ class GLViewer:
         glutKeyboardFunc(self._on_key)
         glutMouseFunc(self._on_click)
         glutMotionFunc(self._on_motion)
-        glutMainLoop()
+        if glutMainLoopEvent is None:
+            glutMainLoop()
+        else:
+            while not self._quit and not (done is not None and done()):
+                glutMainLoopEvent()

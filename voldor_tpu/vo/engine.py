@@ -546,6 +546,16 @@ class VoldorEngine:
         into the prior camera.
         """
         cfg = self.cfg
+        if cfg.pose_window_sweep == "jacobi" and not cfg.silent:
+            import warnings
+
+            warnings.warn(
+                "--pose_window_sweep jacobi is an ablation/testing mode: it "
+                "batches EM iteration 1 while the window poses are still "
+                "zero and measured 22.8% t_rel on a CLEAN scene "
+                "(docs/ACCURACY_AB.json). Use 'hybrid' (default) or 'seq'.",
+                stacklevel=3,
+            )
         self._seed_counter = 0
         flows = np.ascontiguousarray(flows, np.float32)
         if cfg.resize_factor != 1.0:
@@ -681,8 +691,10 @@ class VoldorEngine:
                 R = jnp.asarray(R_cv, jnp.float32)
                 # reference convention quirk t <- R t (geometry.cpp:330)
                 t = R @ jnp.asarray(t_cv.ravel(), jnp.float32)
-        except ImportError:
-            pass
+        except Exception:
+            # no cv2, or cv2.error on degenerate/NaN flow — either way the
+            # TPU-native 8-point fallback below takes over (ADVICE r2)
+            R = t = None
         if R is None:
             R, t, _ = epipolar.estimate_pose_epipolar(
                 self.flows[0], K, jax.random.PRNGKey(int(self._next_seed()))
