@@ -1,0 +1,180 @@
+"""Loop-closure retrieval benchmark: precision/recall vs score threshold.
+
+The reference gates LC candidates on a DBoW3 score threshold
+(voldor_slam.py:683-701); our backends (ThumbnailRetriever, BowRetriever —
+slam/loop_closure.py) replace pyDBoW3, so the default
+`lc_bow_score_thresh` needs justification against a harness harder than
+the unit tests: many distinct procedural places, revisit queries under
+combined viewpoint (shift + rotation + scale) and illumination
+(brightness/contrast/gamma) perturbation, plus NOVEL-place queries that
+must not match anything.
+
+For each backend (and for BowRetriever both with the learned k-majority
+vocabulary and the random-prototype cold start) the top-1 retrieval score
+of every query is swept over thresholds: a query counts as a true positive
+when its top-1 is the correct place AND the score clears the threshold;
+any cleared score on a wrong place or a novel-place query is a false
+positive. Output: docs/LC_PR.json with the full curves and each backend's
+operating point at the shipped default threshold.
+
+Run: python tools/lc_pr_curve.py   (host-only; needs cv2 for ORB)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from voldor_tpu.slam.loop_closure import BowRetriever, ThumbnailRetriever  # noqa: E402
+
+H, W = 192, 256
+N_PLACES = 30
+N_NOVEL = 15
+DEFAULT_THRESH = 0.55  # VOLDOR_SLAM.lc_bow_score_thresh
+
+
+def make_place(seed: int, rng: np.random.Generator) -> np.ndarray:
+    """Distinct place: gradient texture + place-specific high-contrast blobs
+    (ORB needs corners; the global layout makes places distinguishable)."""
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = (
+        120
+        + 40 * np.sin(0.11 * xs + 2.1 * seed)
+        + 35 * np.cos(0.13 * ys - 1.3 * seed)
+    )
+    r = np.random.default_rng(9000 + seed)
+    for _ in range(30):
+        cy, cx = int(r.integers(12, H - 12)), int(r.integers(12, W - 12))
+        rad = int(r.integers(3, 10))
+        img[cy - rad : cy + rad, cx - rad : cx + rad] += float(r.uniform(-95, 95))
+    img += rng.normal(0, 3, (H, W))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def perturb(img: np.ndarray, rng: np.random.Generator, cv2) -> np.ndarray:
+    """Viewpoint + illumination perturbation for a revisit query:
+    rotation (±4 deg), scale (0.92-1.08), shift (±8 px), then
+    brightness/contrast/gamma jitter + sensor noise."""
+    ang = float(rng.uniform(-4, 4))
+    scale = float(rng.uniform(0.92, 1.08))
+    tx, ty = rng.uniform(-8, 8, 2)
+    M = cv2.getRotationMatrix2D((W / 2, H / 2), ang, scale)
+    M[:, 2] += (tx, ty)
+    out = cv2.warpAffine(
+        img, M, (W, H), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT
+    ).astype(np.float32)
+    gain = float(rng.uniform(0.85, 1.2))
+    bias = float(rng.uniform(-15, 15))
+    gamma = float(rng.uniform(0.85, 1.2))
+    out = np.clip(out * gain + bias, 0, 255)
+    out = 255.0 * (out / 255.0) ** gamma
+    out += rng.normal(0, 4, img.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def pr_curve(top1, thresholds):
+    """top1: list of (gt_id or None, pred_id, score). Positive queries are
+    those with gt_id is not None."""
+    n_pos = sum(1 for gt, _, _ in top1 if gt is not None)
+    curve = []
+    for t in thresholds:
+        tp = fp = 0
+        for gt, pred, score in top1:
+            if score < t or pred is None:
+                continue
+            if gt is not None and pred == gt:
+                tp += 1
+            else:
+                fp += 1
+        prec = tp / (tp + fp) if (tp + fp) else 1.0
+        rec = tp / n_pos if n_pos else 0.0
+        curve.append({"thresh": round(float(t), 4), "precision": round(prec, 4),
+                      "recall": round(rec, 4), "tp": tp, "fp": fp})
+    return curve
+
+
+def main():
+    import cv2
+
+    rng = np.random.default_rng(17)
+    orb = cv2.ORB_create()
+
+    places = [make_place(s, rng) for s in range(N_PLACES + N_NOVEL)]
+    descs = []
+    for img in places:
+        _, des = orb.detectAndCompute(img, None)
+        assert des is not None and len(des) >= 8
+        descs.append(des)
+
+    backends = {
+        "thumb": ThumbnailRetriever(),
+        # learned vocabulary: trains once 4*n_words descriptors accumulate
+        # (~9 places at ~120 ORB descriptors each on this harness)
+        "bow_trained": BowRetriever(n_words=256),
+        # cold-start ablation: random prototypes, never trains
+        "bow_random": BowRetriever(n_words=256, train_min_descriptors=10**9),
+    }
+    for img, des in zip(places[:N_PLACES], descs[:N_PLACES]):
+        for r in backends.values():
+            r.add_frame(img.astype(np.float32), des)
+
+    results = {}
+    for name, r in backends.items():
+        top1 = []
+        # positive queries: perturbed revisits of every mapped place
+        for gt_id in range(N_PLACES):
+            q = perturb(places[gt_id], rng, cv2)
+            _, qdes = orb.detectAndCompute(q, None)
+            res = r.query_frame(q.astype(np.float32), qdes)
+            top1.append(
+                (gt_id, res[0][0], res[0][1]) if res else (gt_id, None, -1.0)
+            )
+        # negative queries: perturbed NOVEL places (never added)
+        for j in range(N_PLACES, N_PLACES + N_NOVEL):
+            q = perturb(places[j], rng, cv2)
+            _, qdes = orb.detectAndCompute(q, None)
+            res = r.query_frame(q.astype(np.float32), qdes)
+            top1.append((None, res[0][0], res[0][1]) if res else (None, None, -1.0))
+
+        thresholds = np.round(np.arange(0.0, 0.95, 0.05), 3)
+        curve = pr_curve(top1, thresholds)
+        at_default = pr_curve(top1, [DEFAULT_THRESH])[0]
+        scores_pos = [s for gt, p, s in top1 if gt is not None and p == gt]
+        scores_neg = [s for gt, p, s in top1 if gt is None]
+        results[name] = {
+            "trained": bool(getattr(r, "trained", False)),
+            "curve": curve,
+            "at_default_thresh": at_default,
+            "median_correct_score": round(float(np.median(scores_pos)), 4) if scores_pos else None,
+            "median_novel_score": round(float(np.median(scores_neg)), 4) if scores_neg else None,
+        }
+        print(
+            f"{name:12s} trained={results[name]['trained']} "
+            f"P@default={at_default['precision']:.2f} R@default={at_default['recall']:.2f} "
+            f"med_correct={results[name]['median_correct_score']} "
+            f"med_novel={results[name]['median_novel_score']}"
+        )
+
+    out = {
+        "harness": {
+            "n_places": N_PLACES, "n_novel_queries": N_NOVEL, "hw": [H, W],
+            "perturbation": "rot ±4deg, scale 0.92-1.08, shift ±8px, "
+                            "gain 0.85-1.2, bias ±15, gamma 0.85-1.2, noise σ4",
+        },
+        "default_thresh": DEFAULT_THRESH,
+        "backends": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "LC_PR.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

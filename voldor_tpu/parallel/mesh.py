@@ -70,11 +70,37 @@ def multichip_solve(
     (pose_step shard_hints). Inputs are numpy/jnp on host or any device;
     returns the engine state dict (depth, rigidness, poses6, covars, ...)
     with mesh shardings. Single-chip semantics are identical — the driver
-    dryrun and tests/test_multichip.py compare the two."""
+    dryrun and tests/test_multichip.py compare the two.
+
+    Production grids rarely divide the sp axis (KITTI's demo compute grid
+    is 185 rows; NamedSharding needs divisibility), so the row axis is
+    padded up to a multiple of _ROW_BLOCK with INERT rows — flow 0,
+    depth 0 (below pose_sample_min_depth, so collect_p3p_instances marks
+    every padded pixel invalid and it can never enter the P4P pool),
+    rigidness 0 — and every output is cropped back. The block is FIXED
+    (not the mesh's sp extent) so results are identical across mesh sizes
+    with sp ≤ _ROW_BLOCK; larger sp extents round the block up (numerics
+    then differ from smaller meshes only through the padded-row count's
+    effect on the correspondence-draw index space)."""
     import jax.numpy as jnp
 
     N, h, w = flows.shape[:3]
     fn = _get_solve_fn(cfg, has_disparity=False, use_priors=False)
+
+    sp_size = mesh.shape.get("sp", 1)
+    block = _ROW_BLOCK
+    while block < sp_size:
+        block *= 2
+    hp = -(-h // block) * block
+    if hp != h:
+        pad = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+        flows = jnp.pad(jnp.asarray(flows, jnp.float32), pad)
+        depth = jnp.pad(jnp.asarray(depth, jnp.float32), ((0, hp - h), (0, 0)))
+        rig0 = jnp.pad(
+            jnp.ones((N, h, w), jnp.float32), ((0, 0), (0, hp - h), (0, 0))
+        )
+    else:
+        rig0 = jnp.ones((N, h, w), jnp.float32)
 
     s_maps = NamedSharding(mesh, P(None, "sp", None))  # (N, h, w)
     s_flows = NamedSharding(mesh, P(None, "sp", None, None))
@@ -83,7 +109,7 @@ def multichip_solve(
 
     flows = jax.device_put(jnp.asarray(flows), s_flows)
     depth = jax.device_put(jnp.asarray(depth), s_depth)
-    rigidness = jax.device_put(jnp.ones((N, h, w), jnp.float32), s_maps)
+    rigidness = jax.device_put(rig0, s_maps)
     z0 = jax.device_put(jnp.zeros((0, h, w), jnp.float32), rep)
     zp = jax.device_put(jnp.zeros((0, 6), jnp.float32), rep)
     poses6 = jax.device_put(jnp.asarray(poses6, jnp.float32), rep)
@@ -98,7 +124,24 @@ def multichip_solve(
             np.int32(N), np.uint32(cfg.seed if seed is None else seed),
         )
     jax.block_until_ready(st)
+    if hp != h:
+        st = {k: _crop_rows(v, hp, h) for k, v in st.items()}
     return st
+
+
+_ROW_BLOCK = 8
+
+
+def _crop_rows(v, hp: int, h: int):
+    """Crop every axis of size hp (the padded row count) back to h. Safe as
+    long as no other dimension coincidentally equals hp — engine state maps
+    are (hp, w) / (K, hp, w) / (K, hp, w, C) with w >> N."""
+    if not hasattr(v, "ndim") or v.ndim == 0:
+        return v
+    idx = tuple(
+        slice(0, h) if s == hp else slice(None) for s in v.shape
+    )
+    return v[idx]
 
 
 def multichip_em_step(mesh: Mesh, cfg: VoldorConfig, flows, rigidness, depth, poses6):

@@ -5,15 +5,20 @@ The reference uses pyDBoW3 + a pretrained ORB vocabulary blob
 the vocabulary file is a missing large blob upstream too. This module
 provides two interchangeable retrieval backends behind one interface:
 
-  * ThumbnailRetriever (default): a global-descriptor prefilter — cosine
-    similarity of normalized, blurred grayscale thumbnails. Cheap,
-    vocabulary-free, and viewpoint-tolerant enough for the geometric
-    verification stage (geometry_check: ORB + fundamental-matrix RANSAC,
-    slam_utils.py:4-16) to do the real gating, mirroring the reference's
-    two-stage candidate -> geometry pipeline (voldor_slam.py:683-701).
-  * BowRetriever: an online bag-of-binary-words database built by
-    incremental k-medoids over ORB descriptors — used when no pretrained
-    vocabulary exists but BoW-style scoring is preferred.
+  * BowRetriever (default): an online bag-of-binary-words database over
+    ORB descriptors. Cold-starts on random binary prototypes, then LEARNS
+    its vocabulary by k-majority (binary k-means with bitwise-majority
+    centroids — DBoW's construction primitive) once enough descriptors
+    accumulate, re-quantizing the whole database on each refit.
+  * ThumbnailRetriever: a global-descriptor prefilter — cosine similarity
+    of normalized, blurred grayscale thumbnails. Cheap, vocabulary-free
+    fallback when ORB descriptors are unavailable.
+
+Either way the geometric verification stage (geometry_check: ORB +
+fundamental-matrix RANSAC, slam_utils.py:4-16) does the real gating,
+mirroring the reference's two-stage candidate -> geometry pipeline
+(voldor_slam.py:683-701). Operating curves for both backends (and the
+random-vs-trained ablation) live in docs/LC_PR.json (tools/lc_pr_curve.py).
 """
 
 from __future__ import annotations
@@ -73,39 +78,140 @@ class ThumbnailRetriever:
         return len(self._db)
 
 
+def _hamming_dist(a_packed: np.ndarray, b_packed: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances between packed binary descriptors.
+
+    a_packed: (A, 32) uint8, b_packed: (B, 32) uint8 -> (A, B) uint16.
+    Chunked XOR + popcount (np.bitwise_count); ~33 MB of scratch max.
+    """
+    A = a_packed.shape[0]
+    B = b_packed.shape[0]
+    out = np.empty((A, B), np.uint16)
+    chunk = max(1, (32 << 20) // max(1, B * 32))
+    for s in range(0, A, chunk):
+        x = a_packed[s : s + chunk, None, :] ^ b_packed[None, :, :]
+        out[s : s + chunk] = np.bitwise_count(x).sum(-1, dtype=np.uint16)
+    return out
+
+
+def _kmajority(des: np.ndarray, n_words: int, init_words: np.ndarray,
+               rng: np.random.Generator, max_iters: int = 8) -> np.ndarray:
+    """Binary k-means ("k-majority", the DBoW construction primitive):
+    assign each descriptor to its nearest word by Hamming distance, then
+    replace each word by the bitwise MAJORITY of its members. Empty
+    clusters are reseeded with the descriptors farthest from their word.
+
+    des: (T, 32) packed uint8. Returns (n_words, 32) packed uint8.
+    """
+    T = des.shape[0]
+    # init: current words, plus random training descriptors for any slot
+    # whose word never wins an assignment on the first pass
+    words = init_words.copy()
+    assign = np.zeros(T, np.int64)
+    for _ in range(max_iters):
+        dist = _hamming_dist(des, words)
+        new_assign = np.argmin(dist, axis=1)
+        d_min = dist[np.arange(T), new_assign].astype(np.int64)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        counts = np.bincount(assign, minlength=n_words)
+        # majority update: per-cluster mean of unpacked bits > 0.5
+        bits = np.unpackbits(des, axis=1).astype(np.float32)  # (T, 256)
+        sums = np.zeros((n_words, 256), np.float32)
+        np.add.at(sums, assign, bits)
+        nz = counts > 0
+        maj = (sums[nz] * 2 > counts[nz, None]).astype(np.uint8)
+        words[nz] = np.packbits(maj, axis=1)
+        # reseed empties with the worst-fit descriptors (spreads coverage)
+        n_empty = int((~nz).sum())
+        if n_empty:
+            far = np.argsort(-d_min)[:n_empty]
+            words[~nz] = des[far]
+    return words
+
+
 class BowRetriever:
     """Online bag-of-binary-words with TF-IDF scoring over ORB descriptors.
 
-    Words are fixed random binary prototypes (stable across runs); each
-    descriptor maps to its nearest prototype by Hamming distance.
+    Cold start uses fixed random binary prototypes (stable across runs).
+    Once enough descriptors accumulate, the vocabulary is LEARNED from them
+    by incremental k-majority (binary k-means with bitwise-majority centroid
+    updates — the same primitive DBoW3 vocabularies are built from), and the
+    whole database is re-quantized under the new words. Retraining repeats
+    each time the descriptor count grows by `retrain_growth`x, so the
+    vocabulary tracks the actual appearance distribution of the sequence
+    instead of random Hamming-space directions (voldor_slam.py:340-359's
+    pretrained ORBvoc plays this role in the reference).
     """
 
-    def __init__(self, n_words: int = 512, seed: int = 233):
+    def __init__(self, n_words: int = 512, seed: int = 233,
+                 train_min_descriptors: int | None = None,
+                 retrain_growth: float = 2.0,
+                 max_train_descriptors: int = 8192):
         rng = np.random.default_rng(seed)
+        self._rng = rng
         self.words = rng.integers(0, 256, size=(n_words, 32), dtype=np.uint8)
-        self._bits = np.unpackbits(self.words, axis=1)  # (W, 256)
+        self.trained = False  # becomes True after the first k-majority fit
         self._hists: list[np.ndarray] = []
         self._df = np.zeros(n_words, np.float64)
+        # raw descriptors per frame, kept packed for re-quantization
+        self._frame_des: list[np.ndarray | None] = []
+        self._n_des_total = 0
+        self._n_des_at_train = 0
+        self._train_min = train_min_descriptors or 4 * n_words
+        self._retrain_growth = retrain_growth
+        self._max_train = max_train_descriptors
 
-    def _hist(self, des: np.ndarray) -> np.ndarray:
+    def _hist(self, des: np.ndarray | None) -> np.ndarray:
         if des is None or len(des) == 0:
             return np.zeros(self.words.shape[0], np.float32)
-        bits = np.unpackbits(np.asarray(des, np.uint8), axis=1)  # (D, 256)
-        # Hamming distance via popcount of XOR, computed as matmul trick
-        dist = (
-            bits @ (1 - self._bits.T.astype(np.int32))
-            + (1 - bits) @ self._bits.T.astype(np.int32)
-        )
+        dist = _hamming_dist(np.asarray(des, np.uint8), self.words)
         assign = np.argmin(dist, axis=1)
         h = np.bincount(assign, minlength=self.words.shape[0]).astype(np.float32)
         n = np.linalg.norm(h)
         return h / n if n > 0 else h
 
-    def query(self, des: np.ndarray, max_results: int = 8):
+    def _maybe_train(self) -> bool:
+        """Fit/refit the vocabulary when enough descriptors accumulated.
+        Returns True if it retrained (and therefore rebuilt `_hists`/`_df`
+        for EVERY frame currently in `_frame_des`, including one appended
+        just before the call — the caller must not append again)."""
+        if self._n_des_total < self._train_min:
+            return False
+        if self.trained and (
+            self._n_des_total < self._retrain_growth * self._n_des_at_train
+        ):
+            return False
+        pool = [d for d in self._frame_des if d is not None and len(d)]
+        if not pool:
+            return False
+        des = np.concatenate(pool, axis=0)
+        if des.shape[0] > self._max_train:
+            sel = self._rng.choice(des.shape[0], self._max_train, replace=False)
+            des = des[sel]
+        self.words = _kmajority(
+            des, self.words.shape[0], self.words, self._rng
+        )
+        self.trained = True
+        self._n_des_at_train = self._n_des_total
+        # re-quantize the whole database under the new vocabulary
+        self._hists = [self._hist(d) for d in self._frame_des]
+        self._df = np.zeros(self.words.shape[0], np.float64)
+        for h in self._hists:
+            self._df += h > 0
+        return True
+
+    def query(self, des: np.ndarray | None, max_results: int = 8):
         h = self._hist(des)
         if not self._hists:
             return []
-        idf = np.log(
+        # smoothed (always-positive) idf: plain log((1+N)/(1+df)) zeroes
+        # every word with df==N, which in a small database (first few
+        # keyframes) is MOST words — scores then ride on rare noise words
+        # and an exact revisit can score ~0.35. log1p keeps common words
+        # at reduced weight so the score scale is stable across db sizes.
+        idf = np.log1p(
             (1 + len(self._hists)) / (1 + self._df)
         ).astype(np.float32)
         db = np.stack(self._hists) * idf
@@ -117,13 +223,28 @@ class BowRetriever:
         order = np.argsort(-scores)[:max_results]
         return [(int(i), float(scores[i])) for i in order]
 
-    def add(self, des: np.ndarray) -> int:
-        h = self._hist(des)
-        self._hists.append(h)
-        self._df += h > 0
+    def add(self, des: np.ndarray | None) -> int:
+        if des is not None and len(des):
+            des = np.ascontiguousarray(des, np.uint8)
+            self._n_des_total += des.shape[0]
+        else:
+            des = None
+        self._frame_des.append(des)
+        if not self._maybe_train():
+            # no retrain: quantize just this frame. (A retrain rebuilds the
+            # whole database including this frame — appending here too would
+            # duplicate it and shift every later index.)
+            h = self._hist(des)
+            self._hists.append(h)
+            self._df += h > 0
         return len(self._hists) - 1
 
-    # Uniform frame interface (see ThumbnailRetriever.query_frame).
+    # Uniform frame interface (see ThumbnailRetriever.query_frame). A frame
+    # with no usable descriptors (detectAndCompute returned None) gets a
+    # zero histogram: it stays index-aligned in the database but can never
+    # match — image_gray is intentionally NOT used as a fallback signal
+    # here (mixing descriptor spaces would corrupt TF-IDF scoring; use
+    # ThumbnailRetriever when descriptors are unavailable).
     def query_frame(self, image_gray, des, max_results: int = 8):
         return self.query(des, max_results)
 

@@ -67,8 +67,13 @@ class VOLDOR_SLAM:
         self.falign_lc_depth_gblur_width = 5
         self.falign_lc_image_gblur_width = 9
 
-        # loop closure (voldor_slam.py:115-119)
-        self.lc_bow_score_thresh = 0.04
+        # loop closure (voldor_slam.py:115-119). Score threshold: the
+        # reference's 0.04 is on DBoW3's L1 score scale; BowRetriever scores
+        # are TF-IDF cosines on a different scale. 0.55 is the operating
+        # point from docs/LC_PR.json (tools/lc_pr_curve.py): trained-vocab
+        # P=1.0/R=1.0, cold-start P=0.64/R=0.90 — geometry_check gates the
+        # residual false positives downstream either way.
+        self.lc_bow_score_thresh = 0.55
         self.lc_geo_inlier_thresh = 0.4
         self.lc_min_kf_distance = 20
         self.lc_link_visibility_thresh = 0.65
