@@ -64,6 +64,20 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_memory():
+    """Clear jit/executable caches at module boundaries. A single suite
+    process compiles hundreds of XLA:CPU programs; the accumulated LLVM
+    JIT state has produced a rare segfault *inside backend_compile* late
+    in the run (observed at ~76 tests in; unreproducible from the two
+    neighboring modules alone). Modules rarely share executables, so this
+    bounds compiler memory at a negligible recompile cost."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(233)

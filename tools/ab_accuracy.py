@@ -121,12 +121,15 @@ def main():
     # named configurations: the shipping default, the reference-exact
     # schedule/cost, and single-knob isolations
     combos = [
+        # "default" IS the shipped config (config.py defaults: stride 1,
+        # anchored cost, hybrid sweep, obs collect, convergence extension)
         ("default_anch_hyb_obs", ""),
         ("reference_exact",
          "--pose_window_sweep seq --pose_collect_mode traced "
          "--depth_cost_mode projected --pose_sample_stride 1 "
          "--prior_sample_mode round"),
-        ("stride1", "--pose_sample_stride 1"),
+        ("stride2", "--pose_sample_stride 2"),
+        ("no_converge_ext", "--max_iters_ext 0"),
         ("jacobi_warmstart", "--pose_window_sweep jacobi"),
         ("prior_round", "--prior_sample_mode round"),
     ]
@@ -137,16 +140,22 @@ def main():
     # the MEDIAN over several noise seeds, with the per-seed values kept.
     DEGRADED_SEEDS = (7, 19, 101, 255, 1033)
 
+    # Clean flow is deterministic, so clean rows vary the ENGINE sampling
+    # seed instead (pose/depth proposal RNG) — the spread measures solver
+    # sampling noise rather than degradation lottery.
+    CLEAN_ENGINE_SEEDS = (233, 7, 1033)
+
     out = {}
     for degraded in (False, True):
         for name, cfg in combos:
             key = f"{'degraded' if degraded else 'clean'}/{name}"
-            seeds = DEGRADED_SEEDS if degraded else (7,)
+            seeds = DEGRADED_SEEDS if degraded else CLEAN_ENGINE_SEEDS
             per_seed = []
             for s in seeds:
                 flows, Ts = build(degraded, seed=s)
+                run_cfg = cfg if degraded else f"{cfg} --seed {s}"
                 try:
-                    per_seed.append(run_pipeline(flows, Ts, cfg))
+                    per_seed.append(run_pipeline(flows, Ts, run_cfg))
                 except Exception as e:  # record, keep sweeping
                     per_seed.append({"error": repr(e)})
             metrics = [r for r in per_seed if "error" not in r]
@@ -158,8 +167,7 @@ def main():
                     for k in metrics[0]
                 }
                 med["n_seeds"] = len(metrics)
-                if degraded:
-                    med["per_seed_t_rel"] = [m["t_rel_pct"] for m in metrics]
+                med["per_seed_t_rel"] = [m["t_rel_pct"] for m in metrics]
                 out[key] = med
             print(json.dumps({key: out[key]}), flush=True)
 

@@ -1,0 +1,70 @@
+"""Parity table generator: shipped fast path vs the reference-exact oracle.
+
+Companion to tests/test_parity.py (VERDICT r2 #4). Runs the frozen golden
+oracle configuration (seq sweep + traced collect + projected cost +
+stride 1 + per-round priors — reference voldor.cpp semantics) and the
+shipped default configuration over the parity scenes, clean and
+Fisk-degraded, and writes docs/PARITY.json:
+
+  {"clean/<scene>":    {"ate_vs_oracle": ..., "depth_med_rel": ...},
+   "degraded/<scene>": {"ate_vs_oracle_per_seed": [...], "median": ...}}
+
+ate_vs_oracle is Sim3-aligned ATE between the two trajectories divided by
+scene extent (mono gauge removed); the test suite enforces 2% clean / 6%
+degraded-median bounds — this report records the actual margins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    import test_parity as tp
+    from synthetic import degrade_flows
+
+    out = {}
+    for scene in tp.SCENES:
+        flows, _ = tp.build_scene(scene)
+        est_ref, dep_ref = tp.run_pipeline(flows, tp.REFERENCE_EXACT)
+        est_fast, dep_fast = tp.run_pipeline(flows, "")
+        rels = []
+        for da, db in zip(dep_fast, dep_ref):
+            da = np.asarray(da, np.float64)
+            db = np.asarray(db, np.float64)
+            da = da * (np.median(db) / max(np.median(da), 1e-9))
+            rels.append(float(np.median(np.abs(da - db) / np.maximum(db, 1e-3))))
+        out[f"clean/{scene}"] = {
+            "ate_vs_oracle": round(float(tp.mutual_ate(est_fast, est_ref)), 5),
+            "depth_med_rel": [round(r, 5) for r in rels],
+        }
+        print(f"clean/{scene}: {out[f'clean/{scene}']}", flush=True)
+
+    flows0, _ = tp.build_scene("forward_dominant")
+    devs = []
+    for seed in (5, 17, 91):
+        bad = degrade_flows(flows0, seed=seed, noise_scale=0.6, n_occlusions=3)
+        est_ref, _ = tp.run_pipeline(bad, tp.REFERENCE_EXACT)
+        est_fast, _ = tp.run_pipeline(bad, "")
+        devs.append(round(float(tp.mutual_ate(est_fast, est_ref)), 5))
+        print(f"degraded seed {seed}: {devs[-1]}", flush=True)
+    out["degraded/forward_dominant"] = {
+        "ate_vs_oracle_per_seed": devs,
+        "median": round(float(np.median(devs)), 5),
+    }
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {os.path.abspath(path)}")
+
+
+if __name__ == "__main__":
+    main()

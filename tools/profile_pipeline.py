@@ -1,7 +1,10 @@
 """Pipeline-level phase timing of the VO bench workload on the TPU.
 
-Times each voldor() call and its phases (bootstrap / fused solve dispatch /
-host finalize) across the bench sequence, after a full warmup pass.
+Times each pipelined VO window's phases (bootstrap / fused solve dispatch /
+collect block / host finalize) across the bench sequence, after a full
+warmup pass. `dispatch` is the async window enqueue (voldor_dispatch);
+`collect_block` is the host's wait on the in-flight solve — under perfect
+overlap it approaches the device solve time minus inter-window host work.
 Writes docs/PERF_PIPELINE.json. Single-process medians per
 docs/PLATFORM_NOTES.md; cross-process comparisons are meaningless.
 """
@@ -31,7 +34,8 @@ def main():
     orig_solve = E.VoldorEngine.solve
     orig_boot = E.VoldorEngine.bootstrap
     orig_fin = E.VoldorEngine.finalize_host
-    orig_voldor = A.voldor
+    orig_dispatch = A.voldor_dispatch
+    orig_collect = A.VoWindow.collect
 
     def wrap(name, orig):
         def f(*a, **kw):
@@ -44,7 +48,8 @@ def main():
     E.VoldorEngine.solve = wrap("solve_dispatch", orig_solve)
     E.VoldorEngine.bootstrap = wrap("bootstrap", orig_boot)
     E.VoldorEngine.finalize_host = wrap("finalize_host", orig_fin)
-    A.voldor = wrap("voldor_total", orig_voldor)
+    A.voldor_dispatch = wrap("dispatch", orig_dispatch)
+    A.VoWindow.collect = wrap("collect_block", orig_collect)
 
     slam = B._make_slam(flows)  # warmup: compile everything
     while slam.process_vo():

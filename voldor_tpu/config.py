@@ -79,6 +79,24 @@ class VoldorConfig:
     no_trunc_iters: float = 2
     max_iters: int = 5
     min_iters_after_trunc: int = 3
+    # TPU deviation (no reference analog): convergence-adaptive iteration
+    # EXTENSION. The reference runs a fixed max_iters EM schedule
+    # (voldor.cpp:130-149); on heavily degraded windows (noise + occlusion
+    # + dynamic object simultaneously) five iterations are not enough for
+    # the rigidness E-step to isolate the contamination, and the window
+    # pose locks onto a biased mode (tests/test_degraded.py scene: 7.1 deg
+    # final rotation error at 5 iters vs 1.6 deg at 7). When the window
+    # poses have NOT converged (max per-frame step between EM iterations
+    # > pose_converge_eps: rotation-vector norm + relative translation
+    # norm), the solve keeps iterating up to max_iters_ext. Clean windows
+    # converge well inside max_iters, so the extension costs nothing on
+    # the benchmark path; max_iters itself is never early-stopped (the
+    # reference-parity floor). 0 disables the extension.
+    # eps calibration (/tmp conv probe, 72x96 synthetic): clean windows
+    # settle at a 0.015-0.03 sampling-noise floor after iteration 2;
+    # contaminated windows stay above 0.1 — 0.05 separates them.
+    max_iters_ext: int = 8
+    pose_converge_eps: float = 0.05
 
     # --- forward-backward rigidness smoothing (config.h:59-62) ---
     fb_smooth: int = 1

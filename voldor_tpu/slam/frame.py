@@ -16,14 +16,58 @@ import numpy as np
 
 
 class Frame:
+    """Map vertex. depth/depth_conf may be host numpy maps (sequential VO
+    driver) or LAZY views over device arrays (pipelined driver,
+    slam/system.py): the device->host copy was enqueued at solve time, so
+    the first host access just completes an already-running transfer —
+    while the device handles serve as the next window's depth priors with
+    no host round trip at all."""
+
     def __init__(self, Tcw, depth=None, depth_conf=None, scale=1.0, is_keyframe=False):
         self.Tcw = np.asarray(Tcw).copy()
-        self.depth = depth
-        self.depth_conf = depth_conf
+        self._depth = depth
+        self._depth_conf = depth_conf
+        self.depth_dev = None  # device handles (pipelined VO driver)
+        self.conf_dev = None
         self.scale = scale
         self.is_keyframe = is_keyframe
         self.kps = None
         self.des = None
+
+    @property
+    def depth(self):
+        if self._depth is None and self.depth_dev is not None:
+            self._depth = np.array(np.asarray(self.depth_dev), np.float32)
+        return self._depth
+
+    @depth.setter
+    def depth(self, v):
+        self._depth = v
+
+    @property
+    def depth_conf(self):
+        if self._depth_conf is None and self.conf_dev is not None:
+            self._depth_conf = np.array(np.asarray(self.conf_dev), np.float32)
+        return self._depth_conf
+
+    @depth_conf.setter
+    def depth_conf(self, v):
+        self._depth_conf = v
+
+    def set_window_maps(self, depth_dev, conf_dev):
+        """Attach a solved window's output maps as device handles."""
+        self.depth_dev = depth_dev
+        self.conf_dev = conf_dev
+
+    def release_device(self):
+        """Materialize host copies and drop the device references (called
+        when this frame stops being a prior keyframe, bounding device
+        memory to the two active prior frames)."""
+        if self.depth_dev is not None:
+            _ = self.depth
+            _ = self.depth_conf
+            self.depth_dev = None
+            self.conf_dev = None
 
     def get_scaled_depth(self):
         return self.depth * self.scale

@@ -102,6 +102,12 @@ class VOLDOR_SLAM:
         self.metrics = MetricsLogger()  # enable with .metrics.open(path)
         self.debug_dir = None  # set to dump per-window debug artifacts
         self.vo_pose_warmstart = True  # constant-velocity window pose init
+        # cross-window VO pipelining (process_vo docstring): one window is
+        # kept in flight across calls; _map_version invalidates it when a
+        # PGO write-back rebases the map under the dispatched priors
+        self.vo_pipeline = True
+        self._vo_pending = None
+        self._map_version = 0
         self._use_loop_closure = False
         self._block_vo_signal = False
         self._map_lock = RWLock()
@@ -390,6 +396,9 @@ class VOLDOR_SLAM:
             self.Twc_cur = np.linalg.inv(T6_to_T44(poses_ret[n_frames - 1, :6])).astype(
                 np.float32
             )
+            # the rebased map invalidates any in-flight VO window whose
+            # priors were built from the old poses/scales
+            self._map_version += 1
             print(
                 f"solve pgo {fid_start}-{n_frames_total}, n_frames={n_frames}, n_edges={n_edges}"
             )
@@ -399,77 +408,145 @@ class VOLDOR_SLAM:
             )
 
     # ------------------------------------------------------------------
-    def process_vo(self):
-        """(voldor_slam.py:416-536)"""
-        import time as _time
+    def _vo_window_inputs(self):
+        """Assemble the dispatch inputs for the window starting at fid_cur
+        (the prior/warm-start prep of voldor_slam.py:416-447). Prior maps
+        prefer the frames' DEVICE handles (pipelined path — no host round
+        trip); covisibility inputs ride the same dispatch (ops/covis.py)."""
+        from voldor_tpu.vo.engine import DeviceMap
 
-        import voldor_tpu.vo.api as _voapi
-        py_voldor = _voapi.voldor
+        depth_priors, depth_prior_pconfs, depth_prior_poses = [], [], []
+        dpkf_list = []
+        if not self.disable_dp:
+            if self.fid_cur_tmpkf >= 0:
+                dpkf_list.append(self.fid_cur_tmpkf)
+            if self.fid_cur_spakf >= 0 and self.fid_cur_spakf != self.fid_cur_tmpkf:
+                dpkf_list.append(self.fid_cur_spakf)
+        for fid in dpkf_list:
+            f = self.frames[fid]
+            if f.depth_dev is not None:
+                depth_priors.append(DeviceMap(f.depth_dev, f.scale))
+                depth_prior_pconfs.append(f.conf_dev)
+            else:
+                depth_priors.append(f.get_scaled_depth())
+                depth_prior_pconfs.append(f.depth_conf)
+            depth_prior_poses.append(
+                T44_to_T6(np.linalg.inv(self.Twc_cur @ f.Tcw))
+            )
+
+        if not self.flow_loader_sync(
+            min(self.fid_cur + self.voldor_winsize - 1, int(self.N_FRAMES) - 2)
+        ):
+            raise RuntimeError("Flow loader not working or files are missing.")
+        if self.mode == "stereo" and not self.disp_loader_sync(self.fid_cur):
+            raise RuntimeError("Disparity loader not working or files are missing.")
+
+        # Constant-velocity pose warm start (TPU deviation, A/B'd in
+        # docs/ACCURACY_AB.json): every window transition initializes
+        # at the last solved transition's relative pose, which gives
+        # the batched (Jacobi) camera sweep plausible chain transforms
+        # on its first EM iteration. The reference always starts from
+        # zero (voldor.cpp:130).
+        poses_init = None
+        if self.vo_pose_warmstart and self.fid_cur >= 1 and depth_priors:
+            # frames[] holds 0..fid_cur-1; the current frame's
+            # world->cam is Twc_cur (frames[fid] appends after solve)
+            rel = self.Twc_cur @ self.frames[self.fid_cur - 1].Tcw
+            poses_init = np.tile(
+                np.asarray(T44_to_T6(rel), np.float32),
+                (self.voldor_winsize, 1),
+            )
+
+        # on-device covisibility (ops/covis.py): the vo_step gate over the
+        # window's own output depth and, when a distinct spatial KF exists,
+        # the spakf retention gate for every candidate step — both ride the
+        # solve's scalar readback so no dense map blocks window stepping
+        covis_spec = {"conf_thresh": self.depth_covis_conf_thresh}
+        if self.fid_cur_spakf >= 0:
+            fs = self.frames[self.fid_cur_spakf]
+            if fs.depth_dev is not None:
+                sdep, sconf = fs.depth_dev, fs.conf_dev
+            else:
+                sdep, sconf = fs.depth, fs.depth_conf
+            covis_spec["spakf"] = (sdep, sconf, fs.scale, self.Twc_cur @ fs.Tcw)
+
+        return dict(
+            flows=np.stack(
+                self.flows[self.fid_cur : self.fid_cur + self.voldor_winsize]
+            ),
+            disparity=self.disps[self.fid_cur] if self.mode == "stereo" else None,
+            depth_priors=depth_priors or None,
+            depth_prior_pconfs=depth_prior_pconfs or None,
+            depth_prior_poses=(
+                np.stack(depth_prior_poses) if depth_prior_poses else None
+            ),
+            poses_init=poses_init,
+            covis_spec=covis_spec,
+            fid=int(self.fid_cur),
+        )
+
+    def _vo_dispatch(self, inputs):
+        from voldor_tpu.vo.api import voldor_dispatch
+
+        return voldor_dispatch(
+            flows=inputs["flows"],
+            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+            basefocal=self.basefocal,
+            disparity=inputs["disparity"],
+            depth_priors=inputs["depth_priors"],
+            depth_prior_pconfs=inputs["depth_prior_pconfs"],
+            depth_prior_poses=inputs["depth_prior_poses"],
+            config=self.voldor_config + " " + self.voldor_user_config
+            + (" --save_everything" if self.debug_dir else ""),
+            pad_window_to=self.voldor_winsize,
+            poses_init=inputs["poses_init"],
+            covis_spec=inputs["covis_spec"],
+        )
+
+    def process_vo(self):
+        """(voldor_slam.py:416-536) — pipelined across calls: the NEXT
+        window's solve is dispatched at the END of each call, so its
+        ~200 ms of device time overlaps this thread's inter-window host
+        work (frame/edge bookkeeping, dense-map materialization, flow IO).
+        Window stepping decisions come from the on-device covisibility
+        scores delivered in the same single scalar readback as the poses —
+        no dense map ever sits on the dispatch critical path. A map
+        write-back (PGO) between calls bumps _map_version and invalidates
+        the in-flight window: it is discarded and re-dispatched against
+        the rebased map."""
+        import time as _time
 
         _t0 = _time.perf_counter()
         with self._map_lock.r_locked():
             if self.fid_cur >= (self.N_FRAMES - 1):
+                self._vo_pending = None
                 self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
                 self.fid_cur = int(self.N_FRAMES)
                 return False
 
-            depth_priors, depth_prior_pconfs, depth_prior_poses = [], [], []
-            dpkf_list = []
-            if not self.disable_dp:
-                if self.fid_cur_tmpkf >= 0:
-                    dpkf_list.append(self.fid_cur_tmpkf)
-                if self.fid_cur_spakf >= 0 and self.fid_cur_spakf != self.fid_cur_tmpkf:
-                    dpkf_list.append(self.fid_cur_spakf)
-            for fid in dpkf_list:
-                depth_priors.append(self.frames[fid].get_scaled_depth())
-                depth_prior_pconfs.append(self.frames[fid].depth_conf)
-                depth_prior_poses.append(
-                    T44_to_T6(np.linalg.inv(self.Twc_cur @ self.frames[fid].Tcw))
-                )
-
-            if not self.flow_loader_sync(
-                min(self.fid_cur + self.voldor_winsize - 1, int(self.N_FRAMES) - 2)
+            prev_prior_fids = {self.fid_cur_tmpkf, self.fid_cur_spakf}
+            pend = self._vo_pending
+            self._vo_pending = None
+            if (
+                pend is not None
+                and pend["fid"] == self.fid_cur
+                and pend["map_version"] == self._map_version
             ):
-                raise RuntimeError("Flow loader not working or files are missing.")
-            if self.mode == "stereo" and not self.disp_loader_sync(self.fid_cur):
-                raise RuntimeError("Disparity loader not working or files are missing.")
-
-            # Constant-velocity pose warm start (TPU deviation, A/B'd in
-            # docs/ACCURACY_AB.json): every window transition initializes
-            # at the last solved transition's relative pose, which gives
-            # the batched (Jacobi) camera sweep plausible chain transforms
-            # on its first EM iteration. The reference always starts from
-            # zero (voldor.cpp:130).
-            poses_init = None
-            if self.vo_pose_warmstart and self.fid_cur >= 1 and depth_priors:
-                # frames[] holds 0..fid_cur-1; the current frame's
-                # world->cam is Twc_cur (frames[fid] appends after solve)
-                rel = self.Twc_cur @ self.frames[self.fid_cur - 1].Tcw
-                poses_init = np.tile(
-                    np.asarray(T44_to_T6(rel), np.float32),
-                    (self.voldor_winsize, 1),
-                )
-
-            vo_ret = py_voldor(
-                flows=np.stack(
-                    self.flows[self.fid_cur : self.fid_cur + self.voldor_winsize]
-                ),
-                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
-                basefocal=self.basefocal,
-                disparity=self.disps[self.fid_cur] if self.mode == "stereo" else None,
-                depth_priors=np.stack(depth_priors) if depth_priors else None,
-                depth_prior_pconfs=np.stack(depth_prior_pconfs) if depth_prior_pconfs else None,
-                depth_prior_poses=np.stack(depth_prior_poses) if depth_prior_poses else None,
-                config=self.voldor_config + " " + self.voldor_user_config
-                + (" --save_everything" if self.debug_dir else ""),
-                pad_window_to=self.voldor_winsize,
-                poses_init=poses_init,
-            )
+                handle, inputs = pend["handle"], pend["inputs"]
+            else:
+                if pend is not None:
+                    self.metrics.log("vo_pipeline_flush", fid=int(self.fid_cur))
+                inputs = self._vo_window_inputs()
+                handle = self._vo_dispatch(inputs)
+            vo_ret = handle.collect()
 
             if self.debug_dir:
                 from voldor_tpu.utils.debug_viz import dump_window_debug
 
-                dump_window_debug(self.debug_dir, int(self.fid_cur), vo_ret)
+                dbg = dict(vo_ret)
+                dbg["depth"] = handle.depth_host()
+                dbg["depth_conf"] = handle.conf_host()
+                dump_window_debug(self.debug_dir, int(self.fid_cur), dbg)
 
             if vo_ret["n_registered"] == 0:
                 print(f"Tracking lost at {self.fid_cur}")
@@ -486,27 +563,34 @@ class VOLDOR_SLAM:
                 if self.mode == "mono-scaled":
                     if not self.disp_loader_sync(self.fid_cur):
                         raise RuntimeError("Disparity loader not working or files are missing.")
+                    # materialize the window maps: the Huber disparity fit
+                    # rescales them in place (this window then stays on the
+                    # host path; the covis gates are scale-invariant since
+                    # the fit rescales depth and translations jointly)
+                    vo_ret["depth"] = handle.depth_host()
+                    vo_ret["depth_conf"] = handle.conf_host()
                     self._mono_scaled_fit(vo_ret)
 
                 Tc1c2 = T6_to_T44(vo_ret["poses"])
 
+                # window stepping from the on-device covisibility scores
+                # (the reference's host eval_covisibility loop,
+                # voldor_slam.py:449-458; ops/covis.py parity-tested)
                 vo_step = 0
-                T_tmp = np.eye(4, dtype=np.float32)
                 for i in range(vo_ret["n_registered"]):
                     vo_step += 1
-                    T_tmp = Tc1c2[i] @ T_tmp
-                    covis = eval_covisibility(
-                        vo_ret["depth"], T_tmp, self.K,
-                        vo_ret["depth_conf"] > self.depth_covis_conf_thresh,
-                    )
-                    if covis < self.vostep_visibility_thresh:
+                    if vo_ret["covis"][i] < self.vostep_visibility_thresh:
                         break
 
                 for i in range(vo_step):
                     if i == 0:
-                        self.frames.append(
-                            Frame(np.linalg.inv(self.Twc_cur), vo_ret["depth"], vo_ret["depth_conf"])
-                        )
+                        f0 = Frame(np.linalg.inv(self.Twc_cur))
+                        if "depth" in vo_ret:  # mono-scaled host maps
+                            f0.depth = vo_ret["depth"]
+                            f0.depth_conf = vo_ret["depth_conf"]
+                        else:
+                            f0.set_window_maps(handle.depth_dev, handle.conf_dev)
+                        self.frames.append(f0)
                     else:
                         self.frames.append(Frame(np.linalg.inv(self.Twc_cur)))
                     tmpkf_scale = (
@@ -523,13 +607,11 @@ class VOLDOR_SLAM:
                     polish_T44(self.Twc_cur)
 
                 if self.fid_cur_spakf >= 0:
-                    T_spa2cur = self.Twc_cur @ self.frames[self.fid_cur_spakf].Tcw
-                    covis = eval_covisibility(
-                        self.frames[self.fid_cur_spakf].get_scaled_depth(),
-                        T_spa2cur, self.K,
-                        self.frames[self.fid_cur_spakf].depth_conf > self.depth_covis_conf_thresh,
-                    )
-                    if covis < self.spakf_visibility_thresh:
+                    # spakf retention gate at the step actually taken
+                    if (
+                        vo_ret["spakf_covis"][vo_step - 1]
+                        < self.spakf_visibility_thresh
+                    ):
                         self.append_kf(self.fid_cur)
                         self.fid_cur_spakf = self.fid_cur
                 else:
@@ -541,12 +623,36 @@ class VOLDOR_SLAM:
                     fid=int(self.fid_cur),
                     n_registered=int(vo_ret["n_registered"]),
                     vo_step=int(vo_step),
-                    n_priors=len(depth_priors),
+                    n_priors=(
+                        len(inputs["depth_priors"])
+                        if inputs["depth_priors"] is not None else 0
+                    ),
                     window_s=round(_time.perf_counter() - _t0, 4),
-                    mean_depth_conf=float(np.mean(vo_ret["depth_conf"])),
+                    mean_depth_conf=float(np.mean(self.frames[self.fid_cur].depth_conf)),
                 )
                 self.fid_cur_tmpkf = self.fid_cur
                 self.fid_cur += vo_step
+
+            # ---- pipeline: dispatch the NEXT window before returning, so
+            # its device time overlaps the caller's inter-window host work.
+            # The pending record is validated against fid/map_version at
+            # the next call (PGO write-backs invalidate it).
+            if self.vo_pipeline and self.fid_cur < (self.N_FRAMES - 1):
+                nxt = self._vo_window_inputs()
+                self._vo_pending = dict(
+                    fid=int(self.fid_cur),
+                    map_version=self._map_version,
+                    handle=self._vo_dispatch(nxt),
+                    inputs=nxt,
+                )
+
+            # frames that stopped being prior keyframes drop their device
+            # handles (host copies were enqueued at their solve; this
+            # bounds device memory to the two active prior frames). Runs
+            # AFTER the next dispatch — off the device-idle critical path.
+            for pid in prev_prior_fids - {self.fid_cur_tmpkf, self.fid_cur_spakf}:
+                if pid >= 0:
+                    self.frames[pid].release_device()
         return True
 
     def _mono_scaled_fit(self, vo_ret):

@@ -251,6 +251,78 @@ def _put_bf16(arr) -> jax.Array:
     ).astype(jnp.float32)
 
 
+class DeviceMap:
+    """Device-resident prior map with a deferred scale multiply. The
+    pipelined SLAM driver hands the previous window's output depth handle
+    plus the owning frame's map scale; the multiply and compression cast
+    run inside the one fused stacking jit (_stack_maps)."""
+
+    __slots__ = ("arr", "scale")
+
+    def __init__(self, arr, scale: float = 1.0):
+        self.arr = arr
+        self.scale = float(scale)
+
+
+_STACK_JIT_CACHE: dict = {}
+
+
+def _stack_maps(lst, compress: str | None) -> jax.Array:
+    """Stack (h, w) prior maps that may mix host numpy, device jax.Array,
+    and DeviceMap entries into one (D, h, w) f32 device array.
+
+    Host-only lists keep the single-compressed-upload fast path. Mixed
+    lists run ONE jit (no eager per-element ops — each eager dispatch is a
+    remote call on this platform, docs/PLATFORM_NOTES.md): host entries
+    upload through the compressed dtype as jit args; device entries are
+    scaled in f32 then cast through the SAME dtype in-graph, so the solve
+    sees bitwise-identical priors on both paths."""
+    has_dev = any(isinstance(x, (jax.Array, DeviceMap)) for x in lst)
+    if not has_dev:
+        arr = np.stack([np.asarray(x, np.float32) for x in lst])
+        if compress == "bf16":
+            return _put_bf16(arr)
+        if compress == "f16":
+            return _put_f16(arr)
+        return jnp.asarray(arr)
+
+    key = (len(lst), compress)
+    fn = _STACK_JIT_CACHE.get(key)
+    if fn is None:
+        def stack_fn(scales, *xs):
+            outs = []
+            for i, x in enumerate(xs):
+                x = x.astype(jnp.float32) * scales[i]
+                if compress == "bf16":
+                    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+                elif compress == "f16":
+                    x = x.astype(jnp.float16).astype(jnp.float32)
+                outs.append(x)
+            return jnp.stack(outs)
+
+        fn = jax.jit(stack_fn)
+        _STACK_JIT_CACHE[key] = fn
+
+    import ml_dtypes
+
+    scales = np.ones(len(lst), np.float32)
+    args = []
+    for i, x in enumerate(lst):
+        if isinstance(x, DeviceMap):
+            scales[i] = x.scale
+            args.append(x.arr)
+        elif isinstance(x, jax.Array):
+            args.append(x)
+        else:
+            x = np.asarray(x, np.float32)
+            if compress == "bf16":
+                x = x.astype(ml_dtypes.bfloat16)
+            elif compress == "f16":
+                x = x.astype(np.float16)
+            args.append(x)
+    return fn(scales, *args)
+
+
 def _resolve_use_pallas(cfg: VoldorConfig) -> bool:
     if cfg.depth_cost_mode not in ("tracked", "anchored"):
         return False
@@ -360,8 +432,24 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 depth, priors, dp_pconfs, dp_confs, dp_Rs0, dp_ts0, params
             )
 
+        # Convergence-adaptive EM extension (config.max_iters_ext): the
+        # nominal max_iters schedule is the reference-parity floor (never
+        # early-stopped); windows whose poses are still moving keep
+        # iterating up to max_iters_ext. Heavily contaminated windows
+        # (noise+occlusion+dynamic object) need the extra E-steps for the
+        # rigidness map to isolate the outlier structure; clean windows
+        # converge inside the nominal schedule so the benchmark path pays
+        # nothing.
+        extend = cfg.max_iters_ext > cfg.max_iters
+
         def cond(st):
-            return (st["iters_remain"] > 0) & (st["n_flows"] > 0)
+            keep = st["iters_remain"] > 0
+            if extend:
+                keep = keep | (
+                    (st["iters_cur"] < cfg.max_iters_ext)
+                    & (st["pose_delta"] > cfg.pose_converge_eps)
+                )
+            return keep & (st["n_flows"] > 0)
 
         def body(st):
             iters_cur = st["iters_cur"] + 1
@@ -452,6 +540,28 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 iters_remain=iters_remain,
                 rig_dens=cam.rigidness_densities,
             )
+            if extend:
+                # max over active frames of (rotation-vector step +
+                # relative translation step) between EM iterations.
+                # iters_remain is clamped at 0 so rg_refine_last_only sees
+                # every extension iteration as a potential last one.
+                active = jnp.arange(poses6_.shape[0]) < n_flows
+                rot_d = jnp.linalg.norm(
+                    poses6_[:, :3] - st["poses6"][:, :3], axis=1
+                )
+                t_mag = jnp.maximum(
+                    jnp.linalg.norm(poses6_[:, 3:6], axis=1), 1e-6
+                )
+                tr_d = (
+                    jnp.linalg.norm(
+                        poses6_[:, 3:6] - st["poses6"][:, 3:6], axis=1
+                    )
+                    / t_mag
+                )
+                st_new["pose_delta"] = jnp.max(
+                    jnp.where(active, rot_d + tr_d, 0.0)
+                )
+                st_new["iters_remain"] = jnp.maximum(iters_remain, 0)
             if anchored:
                 st_new["track"] = track_
                 st_new["tinb"] = tinb_
@@ -464,6 +574,8 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
             iters_remain=jnp.int32(cfg.max_iters),
             rig_dens=jnp.zeros(flows.shape[0], jnp.float32),
         )
+        if extend:
+            st0["pose_delta"] = jnp.float32(jnp.inf)
         if anchored:
             # round 1 scores against the frame-0 observed tracks (poses are
             # not yet solved, so a projected-chain anchor is uninformative);
@@ -594,13 +706,21 @@ class VoldorEngine:
             )
             prior_pose_list.append(np.zeros(6, np.float32))
         if depth_priors is not None:
-            for i in range(depth_priors.shape[0]):
-                prior_list.append(np.asarray(depth_priors[i], np.float32))
-                prior_pconf_list.append(
-                    np.ones((h, w), np.float32)
-                    if depth_prior_pconfs is None
-                    else np.asarray(depth_prior_pconfs[i], np.float32)
-                )
+            # each prior may be host numpy OR a device jax.Array (the
+            # pipelined SLAM driver passes the previous window's output
+            # depth/conf handles directly — no host round trip)
+            for i in range(len(depth_priors)):
+                dp_i = depth_priors[i]
+                if not isinstance(dp_i, (jax.Array, DeviceMap)):
+                    dp_i = np.asarray(dp_i, np.float32)
+                prior_list.append(dp_i)
+                if depth_prior_pconfs is None:
+                    prior_pconf_list.append(np.ones((h, w), np.float32))
+                else:
+                    pc_i = depth_prior_pconfs[i]
+                    if not isinstance(pc_i, (jax.Array, DeviceMap)):
+                        pc_i = np.asarray(pc_i, np.float32)
+                    prior_pconf_list.append(pc_i)
                 prior_pose_list.append(np.asarray(depth_prior_poses[i], np.float32))
 
         D = len(prior_list)
@@ -625,12 +745,10 @@ class VoldorEngine:
         self.pose_rigidness_densities = np.zeros(N, np.float32)
 
         if D > 0:
-            if compress:
-                self.priors = _put_bf16(np.stack(prior_list))
-                self.dp_pconfs = _put_f16(np.stack(prior_pconf_list))
-            else:
-                self.priors = jnp.asarray(np.stack(prior_list))
-                self.dp_pconfs = jnp.asarray(np.stack(prior_pconf_list))
+            self.priors = _stack_maps(prior_list, "bf16" if compress else None)
+            self.dp_pconfs = _stack_maps(
+                prior_pconf_list, "f16" if compress else None
+            )
             self.dp_confs = jnp.ones((D, h, w), jnp.float32)
             self.dp_poses6 = jnp.asarray(np.stack(prior_pose_list))
             self.depth = self.priors[0]
