@@ -12,6 +12,13 @@ add are:
 
 Both axes ride on one jit with NamedSharding annotations (+ shard_hints on
 the hypothesis pools, parallel/hints.py) — no hand-written collectives.
+
+Validation status: both axes are CORRECTNESS-verified (driver multichip
+dryrun + tests/test_multichip.py consistency at KITTI-shaped windows on an
+8-device CPU mesh) but PERF-unmeasured on real multi-chip hardware — this
+environment exposes a single physical TPU chip, so no cross-chip speedup
+claim is made anywhere; treat the `hyp` axis as a scaling design, not a
+measured win.
 `multichip_solve` runs the engine's FULL fused solve loop over the mesh;
 `multichip_em_step` is the single-EM-step variant kept for fine-grained
 consistency tests.
