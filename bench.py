@@ -344,6 +344,46 @@ def _last_json_line(text):
     return None
 
 
+def _tunnel_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the remote-TPU tunnel in a disposable child. When the axon
+    tunnel is down, `jax.devices()` HANGS indefinitely instead of raising
+    (observed: >10 min block) — so any in-process device touch would eat
+    the whole bench budget and leave an empty stdout tail (the round-2
+    failure mode). A hard-timeout child keeps the parent responsive."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _print_unreachable_record():
+    """A parseable headline line even when no measurement is possible —
+    value 0 / accuracy_ok false marks the result invalid, and the error
+    field records the cause plus where the last committed on-TPU
+    measurement lives."""
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_vo_frames_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "frames/s (613x185 mono VO pipeline, window 5)",
+                "vs_baseline": 0.0,
+                "accuracy_ok": False,
+                "error": "tpu tunnel unreachable (jax.devices() hung in a "
+                "probe child); last committed on-TPU measurements: "
+                "docs/PERF_PIPELINE.json, docs/PERF_SLAM_E2E.json",
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     child = os.environ.get("VOLDOR_BENCH_CHILD")
     if child == "slam":
@@ -364,6 +404,9 @@ def main():
     deadline = time.monotonic() + float(
         os.environ.get("VOLDOR_BENCH_BUDGET_S", "840")
     )
+    if not _tunnel_alive():
+        _print_unreachable_record()
+        return
     records = []
     try:
         proc = subprocess.Popen(
@@ -407,7 +450,13 @@ def main():
         None,
     )
     if vo is None:
-        run_once(n_trials=1)  # child never delivered: run inline, last resort
+        # child never delivered: run inline as a last resort — but only if
+        # the tunnel is still up (it can die mid-run; an inline device
+        # touch would then hang past the driver timeout with no tail)
+        if _tunnel_alive(timeout_s=60.0):
+            run_once(n_trials=1)
+        else:
+            _print_unreachable_record()
         return
     if slam_r is not None:
         vo = dict(vo)

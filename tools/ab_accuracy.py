@@ -116,6 +116,14 @@ def run_pipeline(flows, Ts, user_cfg: str):
 
 
 def main():
+    # VOLDOR_AB_BACKEND=cpu pins the local CPU backend (the axon plugin
+    # overrides the JAX_PLATFORMS env var; only jax.config works — see
+    # docs/PLATFORM_NOTES.md). Accuracy knob decisions are backend-
+    # independent; use this when the remote-TPU tunnel is down.
+    if os.environ.get("VOLDOR_AB_BACKEND") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import voldor_tpu  # noqa: F401
 
     # named configurations: the shipping default, the reference-exact
@@ -145,7 +153,10 @@ def main():
     # sampling noise rather than degradation lottery.
     CLEAN_ENGINE_SEEDS = (233, 7, 1033)
 
-    out = {}
+    import jax
+
+    out = {"_meta": {"backend": jax.default_backend(),
+                     "grid": f"{H}x{W}", "n_flows": N_FLOWS}}
     for degraded in (False, True):
         for name, cfg in combos:
             key = f"{'degraded' if degraded else 'clean'}/{name}"
