@@ -109,6 +109,119 @@ def build_sequence(n_flows=24):
     return flows, Ts
 
 
+def build_stereo_sequence(n_flows=24):
+    """The build_sequence scene plus per-frame ground-truth disparity
+    (BASELINE.md 'VO stereo' config: KITTI flows + disparity input)."""
+    import jax.numpy as jnp
+
+    from voldor_tpu.ops import lie
+
+    sys.path.insert(0, "tests")
+    from synthetic import plane_depth, render_window
+
+    K = np.array([[350.0, 0, W / 2], [0, 350.0, H / 2], [0, 0, 1]], np.float32)
+
+    def n_(v):
+        v = np.asarray(v, np.float64)
+        return v / np.linalg.norm(v)
+
+    planes = [
+        (n_([0.1, 0.15, 1.0]), 8.0),
+        (n_([-0.35, 0.1, 1.0]), 6.5),
+        (n_([0.3, -0.25, 1.0]), 7.0),
+        (n_([0.5, 0.35, 1.0]), 7.5),
+    ]
+    rng = np.random.default_rng(7)
+    poses = np.zeros((n_flows, 6), np.float32)
+    for f in range(n_flows):
+        poses[f, :3] = rng.normal(0, 0.004, 3)
+        poses[f, 3:6] = [0.08, 0.01, 0.3]
+
+    def r2R(rv):
+        return np.asarray(lie.so3_exp(jnp.asarray(np.asarray(rv, np.float32))))
+
+    flows, _, Ts = render_window(K, poses, planes, H, W, r2R)
+    bf = 0.5 * 350.0  # reference auto virtual basefocal (voldor_slam.py:204)
+    disps = [
+        (bf / plane_depth(K, Ts[k][:3, :3], Ts[k][:3, 3], planes, H, W))
+        .astype(np.float32)
+        for k in range(n_flows)
+    ]
+    return flows, disps, bf, Ts
+
+
+def run_stereo(n_trials: int = N_TRIALS):
+    """Stereo VO benchmark (BASELINE.md config 'VO stereo'): disparity-
+    anchored metric windows. Writes docs/PERF_STEREO.json; manual child
+    (`VOLDOR_BENCH_CHILD=stereo`) — kept off the driver's budgeted path
+    because the stereo solve compiles its own executables."""
+    import voldor_tpu  # noqa: F401
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+    from voldor_tpu.utils.evaluation import ate_rmse
+
+    flows, disps, bf, Ts_true = build_stereo_sequence(24)
+
+    def make():
+        slam = VOLDOR_SLAM(mode="stereo")
+        slam.use_image_info = False
+        slam.voldor_user_config = ""
+        slam.set_cam_params(350.0, 350.0, W / 2, H / 2, basefocal=bf)
+        slam.flows = [flows[i] for i in range(flows.shape[0])]
+        slam.N_FRAMES = flows.shape[0] + 1
+        slam.h, slam.w = H, W
+        slam.flow_loader_pt = flows.shape[0]
+        slam.disps = list(disps)
+        slam.disp_loader_pt = len(disps)
+        return slam
+
+    slam = make()
+    while slam.process_vo():
+        pass
+
+    gt = np.linalg.inv(Ts_true)
+    scene_extent = float(
+        np.linalg.norm(gt[:, :3, 3] - gt[0, :3, 3], axis=1).max()
+    )
+    trials = []
+    for _ in range(max(1, n_trials)):
+        slam = make()
+        t0 = time.perf_counter()
+        while slam.process_vo():
+            pass
+        dt = time.perf_counter() - t0
+        est = np.stack([f.Tcw for f in slam.frames])
+        # stereo is METRIC: no scale alignment in the ATE protocol
+        ate = ate_rmse(est.astype(np.float64), gt, with_scale=False)
+        ok = bool(ate < 0.02 * scene_extent)
+        trials.append({
+            "fps": (int(slam.N_FRAMES) / dt) if ok else 0.0,
+            "dt": dt, "ate": ate, "ok": ok,
+        })
+    trials.sort(key=lambda r: r["fps"])
+    med = trials[len(trials) // 2]
+    rec = {
+        "metric": "kitti_stereo_vo_frames_per_sec_per_chip",
+        "value": round(med["fps"], 3),
+        "unit": "frames/s (613x185 stereo VO pipeline, window 5)",
+        "vs_baseline": round(med["fps"] / BASELINE_FPS, 3),
+        "pipeline_s": round(med["dt"], 3),
+        "n_frames": int(slam.N_FRAMES),
+        "accuracy_ok": med["ok"],
+        "ate_rmse": round(med["ate"], 5),
+        "scene_extent": round(scene_extent, 2),
+        "runs": [round(r["fps"], 3) for r in trials],
+    }
+    print(json.dumps(rec), flush=True)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "PERF_STEREO.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+    return rec
+
+
 def build_slam_scene(n_flows=60):
     """Out-and-back textured sequence with a genuine revisit (frames 0 and
     N see the same view) — the full-SLAM workload: VO + keyframes + local
@@ -247,6 +360,15 @@ def run_slam_e2e():
     if timed_out:
         rec["timed_out"] = True
     print(json.dumps(rec), flush=True)
+    # durable record (VERDICT r2 #5): mapping/LC/PGO throughput must
+    # survive outside the (timeout-prone) driver bench tail
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "PERF_SLAM_E2E.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
     return rec
 
 
@@ -385,9 +507,19 @@ def _print_unreachable_record():
 
 
 def main():
+    # VOLDOR_BENCH_BACKEND=cpu pins the local CPU backend — a smoke-test
+    # escape hatch for bench logic while the remote-TPU tunnel is down
+    # (fps numbers produced this way are NOT comparable to TPU records).
+    if os.environ.get("VOLDOR_BENCH_BACKEND") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     child = os.environ.get("VOLDOR_BENCH_CHILD")
     if child == "slam":
         run_slam_e2e()
+        return
+    if child == "stereo":
+        run_stereo()
         return
     if child == "all":
         run_all()
@@ -460,16 +592,7 @@ def main():
         return
     if slam_r is not None:
         vo = dict(vo)
-        vo["slam_e2e"] = slam_r
-        # durable record (VERDICT r2 #5): mapping/LC/PGO throughput must
-        # survive outside the (timeout-prone) driver bench tail
-        try:
-            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "docs", "PERF_SLAM_E2E.json")
-            with open(path, "w") as f:
-                json.dump(slam_r, f, indent=1)
-        except OSError:
-            pass
+        vo["slam_e2e"] = slam_r  # child already wrote docs/PERF_SLAM_E2E.json
     print(json.dumps(vo), flush=True)
 
 

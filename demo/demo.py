@@ -2,6 +2,12 @@
 (demo/demo.py:3-85), driving the TPU-native engines."""
 
 import argparse
+import os
+import sys
+
+# Make `python demo/demo.py` work from a source checkout without an
+# install step (the reference is likewise run in-tree, README.md:110-137).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser(description="VOLDOR-SLAM (TPU) demo script")
 parser.add_argument("--mode", type=str, required=True,

@@ -55,6 +55,8 @@ _SLOW_TESTS = {
     "test_pallas_cost_matches_reference",
     "test_demo_pipeline_with_loaders",
     "test_save_poses_formats",
+    "test_pipeline_matches_sequential",
+    "test_pipeline_flush_on_pgo_writeback",
 }
 
 

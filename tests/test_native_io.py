@@ -52,3 +52,22 @@ def test_native_loader_out_of_range(flow_dir):
     with pytest.raises(IOError):
         src.get(99)
     src.close()
+
+
+def test_disp_loader_flo_native_path(flow_dir):
+    """SLAM disparity loader over a .flo directory (KITTI stereo: disparity
+    = negated x-flow, voldor_slam.py:302-309) rides the native prefetcher
+    and must produce exactly -flow[..., 0]."""
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    d, flows = flow_dir
+    slam = VOLDOR_SLAM(mode="stereo")
+    slam.h, slam.w = 24, 32
+    slam.flow_loader_pt = 1  # loader gate: disparity waits on flow IO
+    slam.N_FRAMES = 13
+    slam.disp_loader(str(d))
+    assert len(slam.disps) == 12
+    for i in range(12):
+        np.testing.assert_array_equal(
+            slam.disps[i], -flows[i][..., 0]
+        )

@@ -159,6 +159,15 @@ def main():
                      "grid": f"{H}x{W}", "n_flows": N_FLOWS}}
     for degraded in (False, True):
         for name, cfg in combos:
+            # Every combo compiles its own solve executables; accumulated
+            # LLVM JIT state exhausts vm.max_map_count (~65k) partway
+            # through the sweep ("LLVM compilation error: Cannot allocate
+            # memory" with 127 GB free). Bound it per combo, exactly like
+            # tests/conftest.py does per module.
+            from voldor_tpu.vo import engine as _eng
+
+            _eng._SOLVE_FN_CACHE.clear()
+            jax.clear_caches()
             key = f"{'degraded' if degraded else 'clean'}/{name}"
             seeds = DEGRADED_SEEDS if degraded else CLEAN_ENGINE_SEEDS
             per_seed = []

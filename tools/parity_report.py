@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def main():
+    # VOLDOR_AB_BACKEND=cpu pins the local CPU backend (the axon plugin
+    # overrides the JAX_PLATFORMS env var; only jax.config works — see
+    # docs/PLATFORM_NOTES.md). Parity margins are backend-independent;
+    # use this when the remote-TPU tunnel is down.
+    if os.environ.get("VOLDOR_AB_BACKEND") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import test_parity as tp
     from synthetic import degrade_flows
 

@@ -28,7 +28,18 @@ Public API parity with the reference's `pyvoldor` FFI surface:
   voldor_tpu.pgo(...)     == pyvoldor.pgo      (pyvoldor_full.pyx:167-198)
 """
 
+import os as _os
+
 import jax as _jax
+
+# VOLDOR_BACKEND=cpu pins the local CPU backend for any entry point that
+# imports the package (demo CLI, ad-hoc scripts). The JAX_PLATFORMS env
+# var alone is NOT honored on this platform (the axon TPU plugin
+# force-registers; see docs/PLATFORM_NOTES.md) and a dead remote-TPU
+# tunnel HANGS on first device touch instead of raising — this hook is
+# the supported escape hatch.
+if _os.environ.get("VOLDOR_BACKEND") == "cpu":
+    _jax.config.update("jax_platforms", "cpu")
 
 # Geometry/SLAM numerics need true fp32 contractions. JAX's DEFAULT matmul
 # precision may compute f32 matmuls with bf16 passes (fine for NN training,

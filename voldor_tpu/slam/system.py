@@ -269,10 +269,22 @@ class VOLDOR_SLAM:
         if range != (0, 0):
             disp_fn_list = disp_fn_list[range[0] : range[1]]
         print(f"{len(disp_fn_list)} disparities loaded")
-        for fn in disp_fn_list:
+
+        # .flo-format disparity (KITTI stereo: negated x-flow,
+        # voldor_slam.py:302-309) is a second full flow directory — run it
+        # through the same native C++ prefetcher as the flows
+        src = None
+        if disp_fn_list and all(f.endswith(".flo") for f in disp_fn_list):
+            from voldor_tpu.native.io import NativeFlowDir
+
+            src = NativeFlowDir(disp_path, range=range)
+
+        for i, fn in enumerate(disp_fn_list):
             while len(self.disps) - self.fid_cur > n_cache or self.flow_loader_pt <= 0:
                 time.sleep(0.01)
-            if fn.endswith(".flo"):
+            if src is not None:
+                disp = np.ascontiguousarray(-src.get(i)[..., 0])
+            elif fn.endswith(".flo"):
                 disp = -load_flow(os.path.join(disp_path, fn))[..., 0]
                 disp = np.ascontiguousarray(disp)
             elif fn.endswith(".png"):
@@ -288,6 +300,8 @@ class VOLDOR_SLAM:
                 disp = cv2.resize(disp, (self.w, self.h)) * (self.w / disp.shape[1])
             self.disps.append(disp)
             self.disp_loader_pt += 1
+        if src is not None:
+            src.close()
 
     # ------------------------------------------------------------------
     def save_poses(self, file_path="./output_pose.txt", format="KITTI"):
