@@ -150,11 +150,14 @@ def build_stereo_sequence(n_flows=24):
     return flows, disps, bf, Ts
 
 
-def run_stereo(n_trials: int = N_TRIALS):
-    """Stereo VO benchmark (BASELINE.md config 'VO stereo'): disparity-
-    anchored metric windows. Writes docs/PERF_STEREO.json; manual child
-    (`VOLDOR_BENCH_CHILD=stereo`) — kept off the driver's budgeted path
-    because the stereo solve compiles its own executables."""
+def run_stereo(n_trials: int = N_TRIALS, mode: str = "stereo"):
+    """Disparity-anchored VO benchmark, both metric configs from
+    BASELINE.md: mode="stereo" ('VO stereo': disparity as a hard depth
+    prior, docs/PERF_STEREO.json) and mode="mono-scaled" ('VO RGB-D /
+    mono-scaled (TUM)': mono windows + Huber disparity-scale fit,
+    voldor_slam.py:472-492, docs/PERF_RGBD.json). Manual children
+    (`VOLDOR_BENCH_CHILD=stereo|rgbd`) — kept off the driver's budgeted
+    path because each solve config compiles its own executables."""
     import voldor_tpu  # noqa: F401
     from voldor_tpu.slam.system import VOLDOR_SLAM
     from voldor_tpu.utils.evaluation import ate_rmse
@@ -162,7 +165,7 @@ def run_stereo(n_trials: int = N_TRIALS):
     flows, disps, bf, Ts_true = build_stereo_sequence(24)
 
     def make():
-        slam = VOLDOR_SLAM(mode="stereo")
+        slam = VOLDOR_SLAM(mode=mode)
         slam.use_image_info = False
         slam.voldor_user_config = ""
         slam.set_cam_params(350.0, 350.0, W / 2, H / 2, basefocal=bf)
@@ -190,19 +193,23 @@ def run_stereo(n_trials: int = N_TRIALS):
             pass
         dt = time.perf_counter() - t0
         est = np.stack([f.Tcw for f in slam.frames])
-        # stereo is METRIC: no scale alignment in the ATE protocol
+        # both configs are METRIC: no scale alignment in the ATE protocol.
+        # stereo anchors depth directly (tight gate); mono-scaled recovers
+        # scale post-hoc from a robust disparity fit (looser gate).
         ate = ate_rmse(est.astype(np.float64), gt, with_scale=False)
-        ok = bool(ate < 0.02 * scene_extent)
+        ok = bool(ate < (0.02 if mode == "stereo" else 0.05) * scene_extent)
         trials.append({
             "fps": (int(slam.N_FRAMES) / dt) if ok else 0.0,
             "dt": dt, "ate": ate, "ok": ok,
         })
     trials.sort(key=lambda r: r["fps"])
     med = trials[len(trials) // 2]
+    stereo = mode == "stereo"
     rec = {
-        "metric": "kitti_stereo_vo_frames_per_sec_per_chip",
+        "metric": ("kitti_stereo_vo_frames_per_sec_per_chip" if stereo
+                   else "tum_mono_scaled_vo_frames_per_sec_per_chip"),
         "value": round(med["fps"], 3),
-        "unit": "frames/s (613x185 stereo VO pipeline, window 5)",
+        "unit": f"frames/s ({W}x{H} {mode} VO pipeline, window 5)",
         "vs_baseline": round(med["fps"] / BASELINE_FPS, 3),
         "pipeline_s": round(med["dt"], 3),
         "n_frames": int(slam.N_FRAMES),
@@ -214,7 +221,8 @@ def run_stereo(n_trials: int = N_TRIALS):
     print(json.dumps(rec), flush=True)
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", "PERF_STEREO.json")
+                            "docs",
+                            "PERF_STEREO.json" if stereo else "PERF_RGBD.json")
         with open(path, "w") as f:
             json.dump(rec, f, indent=1)
     except OSError:
@@ -520,6 +528,9 @@ def main():
         return
     if child == "stereo":
         run_stereo()
+        return
+    if child == "rgbd":
+        run_stereo(mode="mono-scaled")
         return
     if child == "all":
         run_all()
