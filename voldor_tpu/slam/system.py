@@ -531,6 +531,7 @@ class VOLDOR_SLAM:
         import time as _time
 
         _t0 = _time.perf_counter()
+        win_log = None
         with self._map_lock.r_locked():
             if self.fid_cur >= (self.N_FRAMES - 1):
                 self._vo_pending = None
@@ -632,18 +633,21 @@ class VOLDOR_SLAM:
                     self.append_kf(self.fid_cur)
                     self.fid_cur_spakf = self.fid_cur
 
-                self.metrics.log(
-                    "vo_window",
-                    fid=int(self.fid_cur),
-                    n_registered=int(vo_ret["n_registered"]),
-                    vo_step=int(vo_step),
-                    n_priors=(
-                        len(inputs["depth_priors"])
-                        if inputs["depth_priors"] is not None else 0
-                    ),
-                    window_s=round(_time.perf_counter() - _t0, 4),
-                    mean_depth_conf=float(np.mean(self.frames[self.fid_cur].depth_conf)),
-                )
+                # deferred to after the next window's dispatch: the dense
+                # conf stat would otherwise complete its device->host copy
+                # (and burn host time even with metrics disabled) while the
+                # device sits idle waiting for the dispatch
+                if self.metrics.enabled:
+                    win_log = dict(
+                        fid=int(self.fid_cur),
+                        n_registered=int(vo_ret["n_registered"]),
+                        vo_step=int(vo_step),
+                        n_priors=(
+                            len(inputs["depth_priors"])
+                            if inputs["depth_priors"] is not None else 0
+                        ),
+                        _frame=self.frames[self.fid_cur],
+                    )
                 self.fid_cur_tmpkf = self.fid_cur
                 self.fid_cur += vo_step
 
@@ -667,6 +671,15 @@ class VOLDOR_SLAM:
             for pid in prev_prior_fids - {self.fid_cur_tmpkf, self.fid_cur_spakf}:
                 if pid >= 0:
                     self.frames[pid].release_device()
+
+            if win_log is not None:
+                f0 = win_log.pop("_frame")
+                self.metrics.log(
+                    "vo_window",
+                    window_s=round(_time.perf_counter() - _t0, 4),
+                    mean_depth_conf=float(np.mean(f0.depth_conf)),
+                    **win_log,
+                )
         return True
 
     def _mono_scaled_fit(self, vo_ret):
