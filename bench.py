@@ -38,6 +38,10 @@ import numpy as np
 
 N_TRIALS = 3  # in-process timed VO passes (median reported)
 
+# CPU smoke-test runs (VOLDOR_BENCH_BACKEND=cpu) must never overwrite the
+# durable docs/PERF_*.json TPU records with incomparable numbers.
+_CPU_PIN = os.environ.get("VOLDOR_BENCH_BACKEND") == "cpu"
+
 BASELINE_FPS = 10.0  # reference README.md:160 recommended KITTI input rate
 WINDOW = 5
 H, W = 185, 613
@@ -219,14 +223,15 @@ def run_stereo(n_trials: int = N_TRIALS, mode: str = "stereo"):
         "runs": [round(r["fps"], 3) for r in trials],
     }
     print(json.dumps(rec), flush=True)
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs",
-                            "PERF_STEREO.json" if stereo else "PERF_RGBD.json")
-        with open(path, "w") as f:
-            json.dump(rec, f, indent=1)
-    except OSError:
-        pass
+    if not _CPU_PIN:
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs",
+                                "PERF_STEREO.json" if stereo else "PERF_RGBD.json")
+            with open(path, "w") as f:
+                json.dump(rec, f, indent=1)
+        except OSError:
+            pass
     return rec
 
 
@@ -370,13 +375,14 @@ def run_slam_e2e():
     print(json.dumps(rec), flush=True)
     # durable record (VERDICT r2 #5): mapping/LC/PGO throughput must
     # survive outside the (timeout-prone) driver bench tail
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", "PERF_SLAM_E2E.json")
-        with open(path, "w") as f:
-            json.dump(rec, f, indent=1)
-    except OSError:
-        pass
+    if not _CPU_PIN:
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs", "PERF_SLAM_E2E.json")
+            with open(path, "w") as f:
+                json.dump(rec, f, indent=1)
+        except OSError:
+            pass
     return rec
 
 

@@ -532,6 +532,7 @@ class VOLDOR_SLAM:
 
         _t0 = _time.perf_counter()
         win_log = None
+        kf_append = None
         with self._map_lock.r_locked():
             if self.fid_cur >= (self.N_FRAMES - 1):
                 self._vo_pending = None
@@ -627,10 +628,10 @@ class VOLDOR_SLAM:
                         vo_ret["spakf_covis"][vo_step - 1]
                         < self.spakf_visibility_thresh
                     ):
-                        self.append_kf(self.fid_cur)
+                        kf_append = self.fid_cur
                         self.fid_cur_spakf = self.fid_cur
                 else:
-                    self.append_kf(self.fid_cur)
+                    kf_append = self.fid_cur
                     self.fid_cur_spakf = self.fid_cur
 
                 # deferred to after the next window's dispatch: the dense
@@ -671,6 +672,12 @@ class VOLDOR_SLAM:
             for pid in prev_prior_fids - {self.fid_cur_tmpkf, self.fid_cur_spakf}:
                 if pid >= 0:
                     self.frames[pid].release_device()
+
+            # keyframe feature work (image IO wait, ORB, BoW query,
+            # loop-closure geometry checks) overlaps the in-flight solve —
+            # only the spakf id itself was needed before the dispatch
+            if kf_append is not None:
+                self.append_kf(kf_append)
 
             if win_log is not None:
                 f0 = win_log.pop("_frame")
