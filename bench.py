@@ -225,11 +225,13 @@ def run_stereo(n_trials: int = N_TRIALS, mode: str = "stereo"):
     print(json.dumps(rec), flush=True)
     if not _CPU_PIN:
         try:
+            from voldor_tpu.utils.artifacts import stamp
+
             path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "docs",
                                 "PERF_STEREO.json" if stereo else "PERF_RGBD.json")
             with open(path, "w") as f:
-                json.dump(rec, f, indent=1)
+                json.dump(stamp(rec, config=mode), f, indent=1)
         except OSError:
             pass
     return rec
@@ -377,10 +379,12 @@ def run_slam_e2e():
     # survive outside the (timeout-prone) driver bench tail
     if not _CPU_PIN:
         try:
+            from voldor_tpu.utils.artifacts import stamp
+
             path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "docs", "PERF_SLAM_E2E.json")
             with open(path, "w") as f:
-                json.dump(rec, f, indent=1)
+                json.dump(stamp(rec, config="mono full SLAM"), f, indent=1)
         except OSError:
             pass
     return rec

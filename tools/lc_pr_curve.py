@@ -172,7 +172,8 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "LC_PR.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        from voldor_tpu.utils.artifacts import stamp
+        json.dump(stamp(out), f, indent=1)
     print(f"wrote {path}")
 
 

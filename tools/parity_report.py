@@ -71,7 +71,8 @@ def main():
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        from voldor_tpu.utils.artifacts import stamp
+        json.dump(stamp(out), f, indent=1)
     print(f"wrote {os.path.abspath(path)}")
 
 

@@ -65,10 +65,12 @@ class VoldorConfig:
     # TPU knob (no reference analog): collect P3P correspondences on a
     # strided pixel subgrid. 1 = reference-exact (the default): on the
     # multi-seed Fisk-degraded harness the full grid is the most robust
-    # setting (median t_rel 9.9% vs 33.8% at stride 2 over 5 noise seeds —
-    # docs/ACCURACY_AB.json; single-seed comparisons of this knob flip
-    # randomly, see tools/ab_accuracy.py). With the gather-free obs
-    # collect the stride no longer buys meaningful TPU time; keep 1.
+    # setting (median t_rel 5.2% vs 49.1% at stride 2 over 5 noise seeds —
+    # docs/ACCURACY_AB.json `degraded/default_anch_hyb_obs` vs
+    # `degraded/stride2`, regenerated at fa6cceb; single-seed comparisons
+    # of this knob flip randomly, see tools/ab_accuracy.py). With the
+    # gather-free obs collect the stride no longer buys meaningful TPU
+    # time; keep 1.
     pose_sample_stride: int = 1
     rigidness_threshold: float = 0.5
     rigidness_sum_threshold: float = 1.0
@@ -97,6 +99,18 @@ class VoldorConfig:
     # contaminated windows stay above 0.1 — 0.05 separates them.
     max_iters_ext: int = 8
     pose_converge_eps: float = 0.05
+    # TPU deviation (no reference analog): convergence-adaptive EARLY STOP,
+    # the symmetric counterpart of the extension above. When > 0 and the
+    # window poses have converged (same pose_converge_eps signal), the solve
+    # schedules ONE more EM iteration — flagged as the last, so the
+    # robust-Gaussian covariance refit still runs (rg_refine_last_only) —
+    # and exits. The value is the minimum total iteration count, so e.g. 3
+    # turns the clean-window schedule [5 iters] into [3 iters] while
+    # contaminated windows (pose_delta above eps) keep the full schedule
+    # plus the extension. 0 disables (reference-exact fixed schedule).
+    # Accuracy A/B at shipped defaults: docs/ACCURACY_AB.json `early_stop3`
+    # (clean + degraded multi-seed, within noise of the fixed schedule).
+    early_stop_min_iters: int = 0
 
     # --- forward-backward rigidness smoothing (config.h:59-62) ---
     fb_smooth: int = 1
