@@ -150,6 +150,7 @@ def falign(
         use_photo,
         jnp.float32(consistency_residual_bound),
         bounds,
+        stride=int(stride),
     )
     vis = np.asarray(vis)
     cons = np.asarray(cons)
@@ -194,9 +195,10 @@ def _pairs_solve(
             n_frames=2, max_iters=max_iters,
         )
         vis, cons = align_scores(
-            res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds
+            res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds,
+            stride=stride,
         )
-        return res.params, res.covars, vis, cons
+        return res.params, res.covars, vis, cons, res.iters
 
     return jax.vmap(one)(params0_b, maps_b)
 
@@ -260,7 +262,7 @@ def falign_pairs(
         gauge_U[0, 15] = 1.0
 
     intr = (jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy))
-    params_b, covars_b, vis_b, cons_b = _pairs_solve(
+    params_b, covars_b, vis_b, cons_b, iters_b = _pairs_solve(
         jnp.asarray(params0), maps_b, intr, jnp.float32(vbf),
         jnp.float32(crw), jnp.asarray(dim_mask), jnp.asarray(gauge_U),
         jnp.float32(consistency_residual_bound),
@@ -290,5 +292,6 @@ def falign_pairs(
             "scaling_factor": scaling,
             "visibility_mat": vm,
             "consistency_mat": cm,
+            "iters": int(iters_b[i]),
         })
     return out

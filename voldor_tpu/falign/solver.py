@@ -43,31 +43,36 @@ class FalignResult(NamedTuple):
 
 def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
     """Residuals (P, hs, ws) and Jacobians w.r.t. ref and tar params
-    ((P, hs, ws, 9) each)."""
+    ((P, hs, ws, 9) each).
+
+    ONE linearize over the concatenated 18-dim pair parameter vector: the
+    bilinear gathers (the expensive part of the residual on TPU) execute
+    once and every tangent column rides the same primal trace — measured
+    vs the original primal + two 9-dim jacfwds this is the difference
+    between three gather sweeps and one. Invalid pixels need no explicit
+    Jacobian mask: the residual's own `where(valid, ., 0)` zeroes their
+    tangents."""
     fx, fy, cx, cy = intr
 
     def one(pr, pt, ref, tar):
-        def f(p_ref, p_tar):
-            r, v = pair_residual_map(
-                p_ref, p_tar, ref, tar, maps, fx, fy, cx, cy, vbf, crw,
+        def f18(p18):
+            r, _ = pair_residual_map(
+                p18[:9], p18[9:], ref, tar, maps, fx, fy, cx, cy, vbf, crw,
                 use_photo, stride, bounds,
             )
-            return r, v
+            return r
 
-        res, valid = f(pr, pt)
-        Jr = jax.jacfwd(lambda p: f(p, pt)[0])(pr)
-        Jt = jax.jacfwd(lambda p: f(pr, p)[0])(pt)
-        return res, valid, Jr, Jt
+        res, jvp = jax.linearize(f18, jnp.concatenate([pr, pt]))
+        J = jax.vmap(jvp)(jnp.eye(18, dtype=res.dtype))  # (18, hs, ws)
+        return res, jnp.moveaxis(J[:9], 0, -1), jnp.moveaxis(J[9:], 0, -1)
 
-    res, valid, Jr, Jt = jax.vmap(one)(
+    res, Jr, Jt = jax.vmap(one)(
         params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
     )
     # dim_mask is per-frame (N, 9): select each pair's side mask
     mask_r = dim_mask[pairs[:, 0]][:, None, None, :]
     mask_t = dim_mask[pairs[:, 1]][:, None, None, :]
-    Jr = jnp.where(valid[..., None], Jr, 0.0) * mask_r
-    Jt = jnp.where(valid[..., None], Jt, 0.0) * mask_t
-    return res, valid, Jr, Jt
+    return res, Jr * mask_r, Jt * mask_t
 
 
 def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
@@ -168,7 +173,7 @@ def lm_solve(
 
     def body(state):
         params, lam, cost, it, done, w2 = state
-        res, valid, Jr, Jt = _pair_res_and_jacs(
+        res, Jr, Jt = _pair_res_and_jacs(
             params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
         )
         H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
@@ -189,7 +194,16 @@ def lm_solve(
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
         lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
         rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
-        done = (accept & (rel_drop < 1e-6)) | (lam > 1e9)
+        # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5 is
+        # enough for the downstream consistency/visibility gates and PGO
+        # edges; lanes spent 80-100 lockstep iterations shaving <0.1% cost
+        # at 1e-6, docs/PERF_FALIGN.json), negligible parameter step, or
+        # damping blow-up. In the vmapped batch every live lane pays for
+        # the slowest one, so early exit here is a direct e2e win.
+        step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
+        done = ((accept & (rel_drop < 1e-5))
+                | (accept & (step_inf < 1e-4))
+                | (lam > 1e9))
         cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
         params = jnp.where(accept, trial, params)
         return params, lam, cost, it + 1, done, w2
@@ -208,7 +222,7 @@ def lm_solve(
     # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
     # exactly the information the reference's block-diagonal problem exposes
     # to ceres::Covariance (align_frame.cpp:166-195).
-    res, valid, Jr, _ = _pair_res_and_jacs(
+    res, Jr, _ = _pair_res_and_jacs(
         params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
     )
     P = pairs.shape[0]
@@ -229,15 +243,17 @@ def lm_solve(
 
 
 def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo,
-                 bound, bounds):
-    """Per-pair (visibility, consistency) over the full-resolution unweighted
-    residual (align_frame_cost_fun.h:96-127)."""
+                 bound, bounds, stride: int = 1):
+    """Per-pair (visibility, consistency) over the unweighted residual at
+    the problem's pixel stride — the reference scores the same strided
+    residual map its cost function evaluates (align_frame_cost_fun.h:78,
+    96-127), not a full-resolution one."""
     fx, fy, cx, cy = intr
 
     def one(pr, pt, ref, tar):
         r, v = pair_residual_map(
             pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
-            stride=1, bounds=bounds, apply_weights=False,
+            stride=stride, bounds=bounds, apply_weights=False,
         )
         n_total = r.shape[0] * r.shape[1]
         n_vis = jnp.sum(v)

@@ -787,10 +787,14 @@ class VOLDOR_SLAM:
                         images.append(self._gblur(self.images_grayf[fid], i_blur))
 
             P = len(pair_list)
-            # pad the pair (lane) axis to bucket sizes {1, 4, 16}: each
-            # bucket x stage is one XLA executable, so 3 buckets bound the
-            # warmup; pad lanes repeat pair 0 with zero weights (inert)
-            Pb = 1 if P == 1 else (4 if P <= 4 else 16)
+            # pad the pair (lane) axis to power-of-two buckets {1,2,4,8,16}:
+            # each bucket x stage is one XLA executable (log-many compiles),
+            # and the batched LM runs lockstep to its slowest lane, so a
+            # tight bucket directly cuts wasted lane-iterations (the old
+            # {1,4,16} buckets padded the common 5-9-pair dispatches to 16 —
+            # ~2x waste, docs/PERF_SLAM_PHASES.json). Pad lanes repeat
+            # pair 0 with zero weights (inert).
+            Pb = 1 << max(0, (P - 1).bit_length())
             for _ in range(Pb - P):
                 depths += depths[:2]
                 weights += [np.zeros_like(weights[0])] * 2
