@@ -127,11 +127,30 @@ def main():
     import voldor_tpu  # noqa: F401
 
     # named configurations: the shipping default, the reference-exact
-    # schedule/cost, and single-knob isolations
+    # schedule/cost, and single-knob isolations.
+    #
+    # SCALE CAVEAT (the round-3 "seed-3 cliff" post-mortem): every row
+    # except the *_shipped ones runs at a CPU-affordable compute scale
+    # (2048 pose samples / 6 depth proposals, prepended by run_pipeline).
+    # That scale is fine for RELATIVE knob comparisons but sits close to a
+    # pose-sample-starvation cliff on contaminated windows: degraded seed
+    # 101 measured 31.3% t_rel at 2048 samples vs 3.5% at the shipped 8192
+    # (one window's meanshift locks a spurious mode when the inlier sample
+    # pool is thin). Absolute accuracy claims about the defaults must read
+    # the *_shipped rows, which override the harness scale back to the
+    # config.py defaults (8192/10).
     combos = [
         # "default" IS the shipped config (config.py defaults: stride 1,
         # anchored cost, hybrid sweep, obs collect, convergence extension)
+        # at the HARNESS compute scale (see caveat above)
         ("default_anch_hyb_obs", ""),
+        # the shipped config at the SHIPPED compute scale — the accuracy
+        # gate row (later flags win in the dialect parser)
+        ("default_shipped",
+         "--n_poses_to_sample 8192 --depth_rand_samples 10"),
+        ("early_stop3_shipped",
+         "--n_poses_to_sample 8192 --depth_rand_samples 10 "
+         "--early_stop_min_iters 3"),
         ("reference_exact",
          "--pose_window_sweep seq --pose_collect_mode traced "
          "--depth_cost_mode projected --pose_sample_stride 1 "
@@ -140,13 +159,15 @@ def main():
         ("no_converge_ext", "--max_iters_ext 0"),
         ("jacobi_warmstart", "--pose_window_sweep jacobi"),
         ("prior_round", "--prior_sample_mode round"),
+        ("early_stop3", "--early_stop_min_iters 3"),
     ]
 
     # The degraded pipeline sits near a failure cliff: a SINGLE noise seed
     # is a lottery (observed: the same knob flipping between 10% and 118%
     # t_rel across harness revisions). Every degraded number is therefore
     # the MEDIAN over several noise seeds, with the per-seed values kept.
-    DEGRADED_SEEDS = (7, 19, 101, 255, 1033)
+    # (8 seeds per VERDICT r3 #4 — the 5-seed sweep hid a 1-in-5 cliff.)
+    DEGRADED_SEEDS = (7, 19, 101, 255, 1033, 2048, 4097, 9001)
 
     # Clean flow is deterministic, so clean rows vary the ENGINE sampling
     # seed instead (pose/depth proposal RNG) — the spread measures solver
@@ -194,7 +215,8 @@ def main():
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "ACCURACY_AB.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        from voldor_tpu.utils.artifacts import stamp
+        json.dump(stamp(out), f, indent=1)
     print(f"# wrote {path}", file=sys.stderr)
 
 

@@ -441,6 +441,13 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
         # converge inside the nominal schedule so the benchmark path pays
         # nothing.
         extend = cfg.max_iters_ext > cfg.max_iters
+        # Early stop (cfg.early_stop_min_iters): converged windows schedule
+        # one final (rg-refit) iteration instead of running the rest of the
+        # nominal schedule. Uses the same pose_delta signal as the
+        # extension, so both can be on together: converged -> stop early,
+        # not converged -> extend.
+        early_stop = cfg.early_stop_min_iters > 0
+        track_delta = extend or early_stop
 
         def cond(st):
             keep = st["iters_remain"] > 0
@@ -540,7 +547,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                 iters_remain=iters_remain,
                 rig_dens=cam.rigidness_densities,
             )
-            if extend:
+            if track_delta:
                 # max over active frames of (rotation-vector step +
                 # relative translation step) between EM iterations.
                 # iters_remain is clamped at 0 so rg_refine_last_only sees
@@ -562,6 +569,21 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
                     jnp.where(active, rot_d + tr_d, 0.0)
                 )
                 st_new["iters_remain"] = jnp.maximum(iters_remain, 0)
+            if early_stop:
+                # converged and past the minimum -> the NEXT iteration is
+                # declared last (iters_remain <- 1): it runs the
+                # robust-Gaussian covariance refit (rg_refine_last_only
+                # fires on iters_remain==0) and the loop exits. The stop
+                # can never race the truncation extension: a truncation in
+                # that final iteration raises iters_remain via the
+                # max(min_iters_after_trunc) clamp above.
+                converged = st_new["pose_delta"] <= cfg.pose_converge_eps
+                past_min = iters_cur + 1 >= cfg.early_stop_min_iters
+                st_new["iters_remain"] = jnp.where(
+                    converged & past_min,
+                    jnp.minimum(st_new["iters_remain"], 1),
+                    st_new["iters_remain"],
+                )
             if anchored:
                 st_new["track"] = track_
                 st_new["tinb"] = tinb_
@@ -574,7 +596,7 @@ def _get_solve_fn(cfg: VoldorConfig, has_disparity: bool, use_priors: bool):
             iters_remain=jnp.int32(cfg.max_iters),
             rig_dens=jnp.zeros(flows.shape[0], jnp.float32),
         )
-        if extend:
+        if track_delta:
             st0["pose_delta"] = jnp.float32(jnp.inf)
         if anchored:
             # round 1 scores against the frame-0 observed tracks (poses are
