@@ -32,6 +32,7 @@ import pytest
 # --durations; see CLAUDE.md). The fast lane `-m "not slow"` stays under
 # ~3 min so the last commit of a round can always re-verify quickly.
 _SLOW_TESTS = {
+    "test_mono_vo_on_real_flow",
     "test_checkpoint_roundtrip",
     "test_optimize_depth_recovers_from_wrong_init",
     "test_exact_local_prop_mode_converges",

@@ -694,7 +694,15 @@ class VOLDOR_SLAM:
         (voldor_slam.py:472-492)."""
         from sklearn.linear_model import HuberRegressor
 
-        mask = vo_ret["depth_conf"] > self.depth_scaling_conf_thresh
+        # Deviation from voldor_slam.py:474-476: ALSO mask invalid
+        # disparity (<= 0 = "no measurement" — SGBM holes, Kinect shadow).
+        # The reference regresses against the raw map; real stereo
+        # disparity with 20-40% holes drags the Huber fit past its
+        # breakdown point (measured on docs/REAL_DATA.json's SGBM input:
+        # scale biased 1.4x until holes are masked).
+        mask = (vo_ret["depth_conf"] > self.depth_scaling_conf_thresh) & (
+            self.disps[self.fid_cur] > 1e-6
+        )
         src = self.basefocal / vo_ret["depth"][mask]
         dst = self.disps[self.fid_cur][mask]
         if src.size > self.depth_scaling_max_pixels:
