@@ -151,7 +151,11 @@ def test_append_kf_works_with_bow_retriever(rng):
 
     slam = VOLDOR_SLAM(mode="mono")
     slam.set_cam_params(80.0, 80.0, 128.0, 96.0)
-    slam.enable_loop_closure(retriever=BowRetriever(n_words=128))
+    # train on the first frame's descriptors so the trained-vocab default
+    # threshold applies (the cold-start schedule has its own test below)
+    slam.enable_loop_closure(
+        retriever=BowRetriever(n_words=128, train_min_descriptors=1)
+    )
     slam.lc_min_kf_distance = 0  # tiny map: allow close revisits
     slam.image_loader_sync = lambda fid, **kw: True
 
@@ -164,3 +168,55 @@ def test_append_kf_works_with_bow_retriever(rng):
     assert len(slam.retriever) == 3
     # the revisit should surface as an LC candidate (2 -> 0)
     assert any(rid == 0 and qid == 2 for rid, qid in slam.lc_candidates)
+
+
+def test_lc_cold_start_threshold_schedule(rng):
+    """Until the BoW vocabulary's first k-majority fit, append_kf must gate
+    candidates at the stricter lc_bow_cold_thresh (docs/LC_PR.json
+    cold_start: the random vocab only reaches P=0.64 at the trained-vocab
+    threshold). VERDICT r3 #7."""
+    cv2 = pytest.importorskip("cv2")
+    from voldor_tpu.slam.frame import Frame
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    slam = VOLDOR_SLAM(mode="mono")
+    slam.set_cam_params(80.0, 80.0, 128.0, 96.0)
+    # never trains inside this test: stays in the cold-start regime
+    slam.enable_loop_closure(
+        retriever=BowRetriever(n_words=128, train_min_descriptors=10**9)
+    )
+    slam.lc_min_kf_distance = 0
+    slam.image_loader_sync = lambda fid, **kw: True
+
+    imgs = [_textured_place(rng, s) for s in (0, 1)]
+    imgs.append(imgs[0].copy())  # frame 2: EXACT revisit of frame 0
+    slam.images_bgri = [cv2.cvtColor(i, cv2.COLOR_GRAY2BGR) for i in imgs]
+    slam.frames = [Frame(np.eye(4)) for _ in imgs]
+
+    seen_scores = []
+    orig_query = slam.retriever.query_frame
+
+    def spy(gray, des, max_results=8):
+        res = orig_query(gray, des, max_results)
+        seen_scores.extend(s for _, s in res)
+        return res
+
+    slam.retriever.query_frame = spy
+    for fid in range(3):
+        slam.append_kf(fid)
+
+    assert not slam.retriever.trained
+    # every candidate that passed must have cleared the COLD threshold —
+    # scores in (0.55, 0.68] must NOT have produced candidates
+    weak = [s for s in seen_scores if slam.lc_bow_score_thresh < s <= slam.lc_bow_cold_thresh]
+    strong = [s for s in seen_scores if s > slam.lc_bow_cold_thresh]
+    # an exact revisit of an identical image scores ~1.0 even on the
+    # random vocab, so the true loop (2 -> 0) still surfaces
+    assert any(rid == 0 and qid == 2 for rid, qid in slam.lc_candidates)
+    assert len(slam.lc_candidates) <= len(strong)
+    # the schedule collapses to the default once trained
+    slam.retriever.trained = True
+    thresh = (slam.lc_bow_score_thresh
+              if getattr(slam.retriever, "trained", True)
+              else slam.lc_bow_cold_thresh)
+    assert thresh == slam.lc_bow_score_thresh

@@ -71,9 +71,17 @@ class VOLDOR_SLAM:
         # reference's 0.04 is on DBoW3's L1 score scale; BowRetriever scores
         # are TF-IDF cosines on a different scale. 0.55 is the operating
         # point from docs/LC_PR.json (tools/lc_pr_curve.py): trained-vocab
-        # P=1.0/R=1.0, cold-start P=0.64/R=0.90 — geometry_check gates the
-        # residual false positives downstream either way.
+        # P=1.0/R=1.0 — geometry_check gates the residual false positives
+        # downstream either way.
         self.lc_bow_score_thresh = 0.55
+        # Cold-start schedule (VERDICT r3 #7): before the first k-majority
+        # vocabulary fit the retriever scores on RANDOM prototypes, where
+        # 0.55 only reaches P=0.64 (docs/LC_PR.json bow_random). Until
+        # `retriever.trained`, candidates must clear this stricter bar
+        # instead (bow_random: P=0.88/R=0.77 at 0.65, P=1.0/R=0.33 at
+        # 0.70; 0.68 sits on that knee). Retrievers without a `trained`
+        # attribute (ThumbnailRetriever) are treated as always-trained.
+        self.lc_bow_cold_thresh = 0.68
         self.lc_geo_inlier_thresh = 0.4
         self.lc_min_kf_distance = 20
         self.lc_link_visibility_thresh = 0.65
@@ -356,7 +364,9 @@ class VOLDOR_SLAM:
         # BowRetriever (TF-IDF over the ORB descriptors append_kf already
         # computes) measured 0.92 precision@1 vs the thumbnail backend's
         # 0.75 on the synthetic revisit harness (test_loop_closure.py).
-        self.retriever = retriever or BowRetriever()
+        # NOT `retriever or ...`: retrievers define __len__, so a freshly
+        # constructed (empty) one is falsy and would be silently replaced
+        self.retriever = retriever if retriever is not None else BowRetriever()
         self._use_loop_closure = True
 
     # ------------------------------------------------------------------
@@ -917,8 +927,13 @@ class VOLDOR_SLAM:
             import cv2
 
             gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            thresh = (
+                self.lc_bow_score_thresh
+                if getattr(self.retriever, "trained", True)
+                else self.lc_bow_cold_thresh
+            )
             for rid, score in self.retriever.query_frame(gray, des):
-                if score > self.lc_bow_score_thresh:
+                if score > thresh:
                     if len(self.kf_ids) - rid < self.lc_min_kf_distance:
                         continue
                     other = self.frames[self.kf_ids[rid]]
