@@ -108,9 +108,14 @@ class VoldorConfig:
     # turns the clean-window schedule [5 iters] into [3 iters] while
     # contaminated windows (pose_delta above eps) keep the full schedule
     # plus the extension. 0 disables (reference-exact fixed schedule).
-    # Accuracy A/B at shipped defaults: docs/ACCURACY_AB.json `early_stop3`
-    # (clean + degraded multi-seed, within noise of the fixed schedule).
-    early_stop_min_iters: int = 0
+    # SHIPPED DEFAULT 3: at the shipped compute scale the A/B
+    # (docs/ACCURACY_AB.json, 8 degraded seeds) measures
+    # early_stop3_shipped == default_shipped on degraded flow (median
+    # t_rel 5.48% vs 5.50%, per-seed max 8.8% both) and a negligible
+    # clean-flow cost (0.83% vs 0.55% t_rel, both ~0.8mm/m absolute);
+    # converged windows then run 3+1 EM iterations instead of 5, a direct
+    # cut to the dominant per-window solve cost.
+    early_stop_min_iters: int = 3
 
     # --- forward-backward rigidness smoothing (config.h:59-62) ---
     fb_smooth: int = 1
