@@ -127,10 +127,14 @@ PARITY_FULL = os.environ.get("VOLDOR_PARITY_FULL") == "1"
 @pytest.mark.slow
 @pytest.mark.parametrize("scene", list(SCENES))
 def test_parity_vs_reference_exact_clean(scene):
-    """Clean flow: the fast path must track the oracle within 2% of extent."""
-    if scene != "forward_dominant" and not PARITY_FULL:
-        pytest.skip("full parity sweep: VOLDOR_PARITY_FULL=1 / parity_report")
-    flows, _ = build_scene(scene)
+    """Clean flow: the fast path must track the oracle within 2% of extent.
+
+    All three scene geometries run in the default lane (VERDICT r3 #6);
+    the non-primary scenes use a shorter window to keep the lane's CPU
+    budget (the oracle config is the expensive half) — PARITY_FULL
+    restores the full 8-flow windows."""
+    n_flows = 8 if (scene == "forward_dominant" or PARITY_FULL) else 6
+    flows, _ = build_scene(scene, n_flows=n_flows)
     est_ref, dep_ref = run_pipeline(flows, REFERENCE_EXACT)
     est_fast, dep_fast = run_pipeline(flows, "")
     assert mutual_ate(est_fast, est_ref) < 0.02, scene
@@ -145,17 +149,40 @@ def test_parity_vs_reference_exact_clean(scene):
 
 
 @pytest.mark.slow
-def test_parity_vs_reference_exact_degraded():
-    """Fisk-degraded flow (noise + occlusions, no dynamic object — both
-    schedules must be in their stable regime for a parity statement to be
-    meaningful): mutual deviation bounded across seeds at 6% of extent,
-    looser than clean because both paths random-sample independently."""
-    flows0, _ = build_scene("forward_dominant")
-    devs = []
+@pytest.mark.parametrize("scene", ["forward_dominant", "lateral_dominant"])
+def test_parity_vs_reference_exact_degraded(scene):
+    """Fisk-degraded flow: mutual deviation bounded across seeds at 6% of
+    extent (median), looser than clean because both paths random-sample
+    independently. Depth maps are compared too, at a looser bound (the
+    degraded depth estimate is itself noisier).
+
+    VALIDITY CAVEAT (VERDICT r3 #6): this degradation is deliberately
+    MILD (noise_scale 0.6, 3 occlusions, no dynamic object). At the full
+    A/B degradation the ORACLE ITSELF collapses (docs/ACCURACY_AB.json
+    degraded/reference_exact: 78% median t_rel over 8 seeds — the fixed
+    5-iteration schedule cannot isolate heavy contamination), so a
+    deviation bound against it there would constrain nothing. Degraded
+    parity is only meaningful in the oracle's stable regime; robustness
+    beyond it is the A/B's job (default_shipped rows), not the oracle's."""
+    if scene != "forward_dominant" and not PARITY_FULL:
+        pytest.skip("full parity sweep: VOLDOR_PARITY_FULL=1 / parity_report")
+    flows0, _ = build_scene(scene)
+    devs, depth_rels = [], []
     for seed in (5, 17, 91) if PARITY_FULL else (5, 17):
         bad = degrade_flows(flows0, seed=seed, noise_scale=0.6, n_occlusions=3)
-        est_ref, _ = run_pipeline(bad, REFERENCE_EXACT)
-        est_fast, _ = run_pipeline(bad, "")
+        est_ref, dep_ref = run_pipeline(bad, REFERENCE_EXACT)
+        est_fast, dep_fast = run_pipeline(bad, "")
         devs.append(mutual_ate(est_fast, est_ref))
+        for da, db in zip(dep_fast, dep_ref):
+            da = np.asarray(da, np.float64)
+            db = np.asarray(db, np.float64)
+            da = da * (np.median(db) / max(np.median(da), 1e-9))
+            depth_rels.append(np.median(np.abs(da - db) / np.maximum(db, 1e-3)))
+    # per-seed max is a loose outlier guard only: a single degraded seed's
+    # mutual deviation has a heavy tail because EITHER estimator can draw
+    # a bad sample pool on a contaminated window (measured sweep,
+    # docs/PARITY.json: per-seed up to 0.16 on lateral while the median
+    # stays at 0.03)
     assert float(np.median(devs)) < 0.06, devs
-    assert max(devs) < 0.12, devs
+    assert max(devs) < 0.25, devs
+    assert float(np.median(depth_rels)) < 0.12, depth_rels

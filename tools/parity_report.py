@@ -56,18 +56,40 @@ def main():
         }
         print(f"clean/{scene}: {out[f'clean/{scene}']}", flush=True)
 
-    flows0, _ = tp.build_scene("forward_dominant")
-    devs = []
-    for seed in (5, 17, 91):
-        bad = degrade_flows(flows0, seed=seed, noise_scale=0.6, n_occlusions=3)
-        est_ref, _ = tp.run_pipeline(bad, tp.REFERENCE_EXACT)
-        est_fast, _ = tp.run_pipeline(bad, "")
-        devs.append(round(float(tp.mutual_ate(est_fast, est_ref)), 5))
-        print(f"degraded seed {seed}: {devs[-1]}", flush=True)
-    out["degraded/forward_dominant"] = {
-        "ate_vs_oracle_per_seed": devs,
-        "median": round(float(np.median(devs)), 5),
-    }
+    # Degraded parity: ALL scene geometries (VERDICT r3 #6), trajectory +
+    # depth. NOTE the stability caveat in test_parity.py: this runs the
+    # MILD degradation where the oracle itself is stable; at the full A/B
+    # degradation the oracle collapses (docs/ACCURACY_AB.json
+    # degraded/reference_exact) and a deviation bound would be vacuous.
+    for scene in tp.SCENES:
+        flows0, _ = tp.build_scene(scene)
+        devs, depth_rels = [], []
+        for seed in (5, 17, 91):
+            bad = degrade_flows(flows0, seed=seed, noise_scale=0.6,
+                                n_occlusions=3)
+            est_ref, dep_ref = tp.run_pipeline(bad, tp.REFERENCE_EXACT)
+            est_fast, dep_fast = tp.run_pipeline(bad, "")
+            devs.append(round(float(tp.mutual_ate(est_fast, est_ref)), 5))
+            for da, db in zip(dep_fast, dep_ref):
+                da = np.asarray(da, np.float64)
+                db = np.asarray(db, np.float64)
+                da = da * (np.median(db) / max(np.median(da), 1e-9))
+                depth_rels.append(
+                    float(np.median(np.abs(da - db) / np.maximum(db, 1e-3)))
+                )
+            print(f"degraded/{scene} seed {seed}: {devs[-1]}", flush=True)
+        out[f"degraded/{scene}"] = {
+            "ate_vs_oracle_per_seed": devs,
+            "median": round(float(np.median(devs)), 5),
+            "depth_med_rel": round(float(np.median(depth_rels)), 5),
+        }
+    out["_caveat"] = (
+        "degraded rows use the oracle-stable mild degradation "
+        "(noise 0.6, 3 occlusions, no dynamic object); at full A/B "
+        "degradation the reference-exact oracle itself diverges "
+        "(ACCURACY_AB.json degraded/reference_exact) and parity there "
+        "would be meaningless"
+    )
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.json")
     with open(path, "w") as f:
