@@ -339,55 +339,70 @@ def _run_slam_once(flows, images_bgri, images_grayf):
 def run_slam_e2e():
     """Full-SLAM benchmark (VERDICT r1 #5): mapping + links + LC + PGO.
 
-    Two passes: warmup then timed. When the VO benchmark already ran in
-    THIS process every VO executable is compiled, so the warmup pass only
-    pays the falign/PGO compiles (the round-2 driver timeout was a separate
-    SLAM child recompiling everything from scratch, twice).
+    Cold pass first, then a warm (timed) pass — and a parseable record is
+    printed after EACH pass, so even a driver budget that kills the child
+    mid-warm-pass still has a slam_e2e line in the tail (the round-3 'all'
+    child was cut before printing anything for SLAM; VERDICT r3 weak #2).
+    The cold record is flagged `"pass": "cold"` — it includes the falign/
+    PGO compiles — and is superseded by the warm record when the remaining
+    budget (VOLDOR_BENCH_DEADLINE_UNIX, set by the parent) allows the
+    second pass; consumers should take the LAST slam record.
     """
     import voldor_tpu  # noqa: F401
     from voldor_tpu.utils.evaluation import ate_rmse
 
     flows, images_bgri, images_grayf, Ts_true = build_slam_scene(60)
-
-    # warmup pass compiles whatever this process hasn't compiled yet
-    _run_slam_once(flows, images_bgri, images_grayf)
-    slam, dt, est, timed_out = _run_slam_once(flows, images_bgri, images_grayf)
-
     gt = np.linalg.inv(Ts_true)
-    ate = ate_rmse(est.astype(np.float64), gt, with_scale=True)
     scene_extent = float(
         np.linalg.norm(gt[:, :3, 3] - gt[0, :3, 3], axis=1).max()
     )
-    n_lc_edges = sum(1 for e in slam.edges if e.edge_type == "falign-lc")
-    rec = {
-        "metric": "kitti_slam_e2e_frames_per_sec_per_chip",
-        "value": round(int(slam.N_FRAMES) / dt, 3),
-        "unit": "frames/s (613x185 mono SLAM: VO+links+LC+PGO)",
-        "wall_s": round(dt, 3),
-        "n_frames": int(slam.N_FRAMES),
-        "n_keyframes": len(slam.kf_ids),
-        "n_edges": len(slam.edges),
-        "n_lc_edges": n_lc_edges,
-        "ate_rmse": round(ate, 5),
-        "scene_extent": round(scene_extent, 2),
-        "accuracy_ok": bool(ate < 0.02 * scene_extent and not timed_out),
-    }
-    if timed_out:
-        rec["timed_out"] = True
-    print(json.dumps(rec), flush=True)
-    # durable record (VERDICT r2 #5): mapping/LC/PGO throughput must
-    # survive outside the (timeout-prone) driver bench tail
-    if not _CPU_PIN:
-        try:
-            from voldor_tpu.utils.artifacts import stamp
 
-            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "docs", "PERF_SLAM_E2E.json")
-            with open(path, "w") as f:
-                json.dump(stamp(rec, config="mono full SLAM"), f, indent=1)
-        except OSError:
-            pass
-    return rec
+    def record(slam, dt, est, timed_out, pass_name):
+        ate = ate_rmse(est.astype(np.float64), gt, with_scale=True)
+        n_lc_edges = sum(1 for e in slam.edges if e.edge_type == "falign-lc")
+        rec = {
+            "metric": "kitti_slam_e2e_frames_per_sec_per_chip",
+            "value": round(int(slam.N_FRAMES) / dt, 3),
+            "unit": "frames/s (613x185 mono SLAM: VO+links+LC+PGO)",
+            "pass": pass_name,
+            "wall_s": round(dt, 3),
+            "n_frames": int(slam.N_FRAMES),
+            "n_keyframes": len(slam.kf_ids),
+            "n_edges": len(slam.edges),
+            "n_lc_edges": n_lc_edges,
+            "ate_rmse": round(ate, 5),
+            "scene_extent": round(scene_extent, 2),
+            "accuracy_ok": bool(ate < 0.02 * scene_extent and not timed_out),
+        }
+        if timed_out:
+            rec["timed_out"] = True
+        print(json.dumps(rec), flush=True)
+        # durable record (VERDICT r2 #5): mapping/LC/PGO throughput must
+        # survive outside the (timeout-prone) driver bench tail
+        if not _CPU_PIN and pass_name == "warm":
+            try:
+                from voldor_tpu.utils.artifacts import stamp
+
+                path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "docs", "PERF_SLAM_E2E.json")
+                with open(path, "w") as f:
+                    json.dump(stamp(rec, config="mono full SLAM"), f, indent=1)
+            except OSError:
+                pass
+        return rec
+
+    # cold pass: compiles whatever this process hasn't compiled yet
+    cold = _run_slam_once(flows, images_bgri, images_grayf)
+    rec = record(*cold, "cold")
+
+    # warm pass only if the parent's budget still fits one (estimate: the
+    # warm pass is never slower than the cold one; require half of it plus
+    # slack). No deadline env (standalone child mode) = always run it.
+    deadline = float(os.environ.get("VOLDOR_BENCH_DEADLINE_UNIX", "0"))
+    if deadline and time.time() + 0.5 * cold[1] + 30.0 > deadline:
+        return rec
+    warm = _run_slam_once(flows, images_bgri, images_grayf)
+    return record(*warm, "warm")
 
 
 def _make_slam(flows):
@@ -554,9 +569,8 @@ def main():
     # the driver's timeout is, the tail always carries the latest complete
     # record. A self-imposed deadline kills the child cleanly and the final
     # (combined) record is printed from whatever arrived.
-    deadline = time.monotonic() + float(
-        os.environ.get("VOLDOR_BENCH_BUDGET_S", "840")
-    )
+    budget_s = float(os.environ.get("VOLDOR_BENCH_BUDGET_S", "840"))
+    deadline = time.monotonic() + budget_s
     if not _tunnel_alive():
         _print_unreachable_record()
         return
@@ -564,7 +578,13 @@ def main():
     try:
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
-            env=dict(os.environ, VOLDOR_BENCH_CHILD="all"),
+            env=dict(
+                os.environ,
+                VOLDOR_BENCH_CHILD="all",
+                # run_slam_e2e consults this (wall-clock) deadline to decide
+                # whether a warm pass still fits after the cold one
+                VOLDOR_BENCH_DEADLINE_UNIX=str(time.time() + budget_s - 20.0),
+            ),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         import selectors
@@ -598,8 +618,11 @@ def main():
         (r for r in records if r.get("metric") == "kitti_vo_frames_per_sec_per_chip"),
         None,
     )
+    # LAST slam record wins: the child prints a cold-pass record first and
+    # a warm-pass record if the budget allowed the second run
     slam_r = next(
-        (r for r in records if r.get("metric") == "kitti_slam_e2e_frames_per_sec_per_chip"),
+        (r for r in reversed(records)
+         if r.get("metric") == "kitti_slam_e2e_frames_per_sec_per_chip"),
         None,
     )
     if vo is None:

@@ -186,3 +186,41 @@ def test_falign_pairs_matches_per_pair():
             np.nanmean(b["consistency_mat"]), np.nanmean(s["consistency_mat"]),
             atol=0.02,
         )
+
+
+def test_falign_pairs_coarse_to_fine_matches_single_phase():
+    """The coarse-to-fine LM schedule (bulk iterations at 2x stride, short
+    polish at the target stride) must land on the same optimum as the
+    single-phase solve: same relative pose, same scale, same scores."""
+    from voldor_tpu.falign.api import falign_pairs
+
+    depths, images = _make_pair(TRUE_POSE)
+    init = np.zeros((1, 2, 6), np.float32)
+    init[0, 1] = TRUE_POSE + np.array(
+        [0.004, -0.003, 0.002, 0.03, -0.02, 0.02], np.float32
+    )
+
+    kwargs = dict(
+        fx=FX, fy=FY, cx=CX, cy=CY, poses_init=init, vbf=FX * 5, crw=10.0,
+        optimize_7dof=True, stride=2,
+    )
+    ref = falign_pairs(depths[None], images=images[None], **kwargs)[0]
+    c2f = falign_pairs(
+        depths[None], images=images[None], coarse_stride=4, fine_iters=25,
+        **kwargs,
+    )[0]
+
+    T = lambda p: np.asarray(lie.pose6_to_T44(jnp.asarray(p)))
+    rel_ref = np.linalg.inv(T(ref["poses_ret"][0])) @ T(ref["poses_ret"][1])
+    rel_c2f = np.linalg.inv(T(c2f["poses_ret"][0])) @ T(c2f["poses_ret"][1])
+    np.testing.assert_allclose(rel_c2f[:3, :3], rel_ref[:3, :3], atol=3e-3)
+    np.testing.assert_allclose(rel_c2f[:3, 3], rel_ref[:3, 3], atol=2e-2)
+    np.testing.assert_allclose(
+        c2f["scaling_factor"][1] / c2f["scaling_factor"][0],
+        ref["scaling_factor"][1] / ref["scaling_factor"][0],
+        rtol=0.03,
+    )
+    assert abs(
+        np.nanmean(c2f["consistency_mat"]) - np.nanmean(ref["consistency_mat"])
+    ) < 0.02
+    assert np.all(np.isfinite(c2f["poses_covar"]))

@@ -151,6 +151,17 @@ def main():
         ("early_stop3_shipped",
          "--n_poses_to_sample 8192 --depth_rand_samples 10 "
          "--early_stop_min_iters 3"),
+        # candidate perf defaults (docs/PERF_ABLATE.json at HEAD: 4096
+        # poses -28 ms/solve, early-stop floor 2 -12 ms): gate on the
+        # 8-seed degraded max t_rel before shipping either
+        ("poses4096_shipped", "--n_poses_to_sample 4096 --depth_rand_samples 10"),
+        ("early_stop2_shipped",
+         "--n_poses_to_sample 8192 --depth_rand_samples 10 "
+         "--early_stop_min_iters 2"),
+        # both candidates together — what would actually ship
+        ("perf_candidate_shipped",
+         "--n_poses_to_sample 4096 --depth_rand_samples 10 "
+         "--early_stop_min_iters 2"),
         ("reference_exact",
          "--pose_window_sweep seq --pose_collect_mode traced "
          "--depth_cost_mode projected --pose_sample_stride 1 "
@@ -168,6 +179,14 @@ def main():
     # the MEDIAN over several noise seeds, with the per-seed values kept.
     # (8 seeds per VERDICT r3 #4 — the 5-seed sweep hid a 1-in-5 cliff.)
     DEGRADED_SEEDS = (7, 19, 101, 255, 1033, 2048, 4097, 9001)
+
+    # VOLDOR_AB_ONLY=name1,name2 runs a focused subset (e.g. gating one
+    # candidate knob) and MERGES into the existing artifact instead of
+    # rewriting it — the full sweep stays the source of record.
+    only = os.environ.get("VOLDOR_AB_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        combos = [c for c in combos if c[0] in keep]
 
     # Clean flow is deterministic, so clean rows vary the ENGINE sampling
     # seed instead (pose/depth proposal RNG) — the spread measures solver
@@ -214,8 +233,15 @@ def main():
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "ACCURACY_AB.json")
+    from voldor_tpu.utils.artifacts import stamp
+
+    if only and os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        merged.pop("measured_at", None)
+        merged.update({k: v for k, v in out.items() if k != "_meta"})
+        out = merged
     with open(path, "w") as f:
-        from voldor_tpu.utils.artifacts import stamp
         json.dump(stamp(out), f, indent=1)
     print(f"# wrote {path}", file=sys.stderr)
 

@@ -55,16 +55,30 @@ def main():
     zero_hw = jnp.zeros((0, H, W), jnp.float32)
     zero_p6 = jnp.zeros((0, 6), jnp.float32)
 
-    def time_cfg(name, **overrides):
+    def time_cfg(name, n_priors=0, **overrides):
         cfg = VoldorConfig(fx=350.0, fy=350.0, cx=W / 2, cy=H / 2,
                            basefocal=175.0)
         for k, v in overrides.items():
             setattr(cfg, k, v)
-        fn = _get_solve_fn(cfg, False, False)
+        fn = _get_solve_fn(cfg, False, n_priors > 0)
+        if n_priors:
+            priors = jnp.stack([depth0 * (1.0 + 0.02 * i)
+                                for i in range(n_priors)])
+            pconfs = jnp.ones((n_priors, H, W), jnp.float32)
+            dpp = jnp.asarray(
+                np.tile(np.asarray([0, 0, 0, 0.02, 0, -0.1], np.float32),
+                        (n_priors, 1))
+            )
+        else:
+            priors = pconfs = zero_hw
+            dpp = zero_p6
 
         def run():
             st = fn(depth0, flows, jnp.ones((WINDOW, H, W), jnp.float32),
-                    zero_hw, zero_hw, zero_hw, zero_p6,
+                    priors, pconfs,
+                    jnp.ones((n_priors, H, W), jnp.float32) if n_priors
+                    else zero_hw,
+                    dpp,
                     jnp.zeros((WINDOW, 6), jnp.float32),
                     jnp.zeros((WINDOW, 6, 6), jnp.float32),
                     jnp.zeros(WINDOW, jnp.float32),
@@ -82,31 +96,44 @@ def main():
         ts.sort()
         med = ts[len(ts) // 2]
         print(json.dumps({"variant": name, "median_ms": round(med * 1e3, 1),
-                          "runs_ms": [round(t * 1e3, 1) for t in ts]}))
+                          "runs_ms": [round(t * 1e3, 1) for t in ts]}),
+              flush=True)
         return med
 
     base = time_cfg("baseline")
+    # VOLDOR_ABLATE_FULL=1 re-runs the long historical list; the default
+    # lane keeps the variants that still drive knob decisions at HEAD
+    # (early-stop schedule, pose-pool size, collect stride, depth rounds).
     variants = [
-        ("fb_smooth_off", dict(fb_smooth=0)),
-        ("n_rand_0", dict(depth_rand_samples=0)),
-        ("n_rand_4", dict(depth_rand_samples=4)),
-        ("gstep_0", dict(depth_global_prop_step=0)),
-        ("lwidth_8", dict(depth_local_prop_width=8)),
-        ("lwidth_0", dict(depth_local_prop_width=0)),
+        ("priors_2", dict(n_priors=2)),
+        ("priors_1", dict(n_priors=1)),
+        ("priors_2_round_mode", dict(n_priors=2, prior_sample_mode="round")),
+        ("early_stop_off", dict(early_stop_min_iters=0)),
+        ("early_stop_2", dict(early_stop_min_iters=2)),
+        ("poses_4096", dict(n_poses_to_sample=4096)),
+        ("poses_2048", dict(n_poses_to_sample=2048)),
+        ("stride_2", dict(pose_sample_stride=2)),
+        ("max_iters_3", dict(max_iters=3)),
         ("no_depth_update", dict(depth_rand_samples=0,
                                  depth_global_prop_step=0,
                                  depth_local_prop_width=0)),
-        ("ms_iters_10", dict(meanshift_max_iters=10)),
-        ("poses_2048", dict(n_poses_to_sample=2048)),
-        ("stride_2", dict(pose_sample_stride=2)),
         ("rg_off", dict(rg_refine=0)),
-        ("max_iters_1", dict(max_iters=1)),
-        ("max_iters_3", dict(max_iters=3)),
-        ("sweep_hybrid", dict(pose_window_sweep="hybrid")),
-        ("sweep_jacobi", dict(pose_window_sweep="jacobi")),
-        ("sweep_hybrid_stride2", dict(pose_window_sweep="hybrid",
-                                      pose_sample_stride=2)),
+        ("sweep_seq", dict(pose_window_sweep="seq")),
     ]
+    if os.environ.get("VOLDOR_ABLATE_FULL"):
+        variants += [
+            ("fb_smooth_off", dict(fb_smooth=0)),
+            ("n_rand_0", dict(depth_rand_samples=0)),
+            ("n_rand_4", dict(depth_rand_samples=4)),
+            ("gstep_0", dict(depth_global_prop_step=0)),
+            ("lwidth_8", dict(depth_local_prop_width=8)),
+            ("lwidth_0", dict(depth_local_prop_width=0)),
+            ("ms_iters_10", dict(meanshift_max_iters=10)),
+            ("max_iters_1", dict(max_iters=1)),
+            ("sweep_jacobi", dict(pose_window_sweep="jacobi")),
+            ("sweep_hybrid_stride2", dict(pose_window_sweep="hybrid",
+                                          pose_sample_stride=2)),
+        ]
     out = {"baseline_ms": round(base * 1e3, 1)}
     for name, ov in variants:
         med = time_cfg(name, **ov)

@@ -172,11 +172,15 @@ def falign(
 
 @partial(
     jax.jit,
-    static_argnames=("use_photo", "stride", "bounds", "max_iters"),
+    static_argnames=(
+        "use_photo", "stride", "bounds", "max_iters", "coarse_stride",
+        "coarse_iters",
+    ),
 )
 def _pairs_solve(
     params0_b, maps_b, intr, vbf, crw, dim_mask, gauge_U, bound,
-    *, use_photo, stride, bounds, max_iters=100,
+    *, use_photo, stride, bounds, max_iters=100, coarse_stride=0,
+    coarse_iters=0,
 ):
     """vmapped independent 2-frame LM + scores over a (P, 2, ...) batch.
 
@@ -192,7 +196,8 @@ def _pairs_solve(
         res = lm_solve(
             p0, pairs2, bicon2, maps, intr, vbf, crw, dim_mask, gauge_U,
             use_photo=use_photo, stride=stride, bounds=bounds,
-            n_frames=2, max_iters=max_iters,
+            n_frames=2, max_iters=max_iters, coarse_stride=coarse_stride,
+            coarse_iters=coarse_iters,
         )
         vis, cons = align_scores(
             res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds,
@@ -217,6 +222,8 @@ def falign_pairs(
     optimize_7dof: bool = False,
     stride: int = 4,
     consistency_residual_bound: float = 1.0,
+    coarse_stride: int = 0,
+    fine_iters: int = 100,
 ) -> list[dict]:
     """Batch of P INDEPENDENT two-frame alignment problems in one dispatch.
 
@@ -228,6 +235,11 @@ def falign_pairs(
     depths: (P, 2, h, w); weights/images optional same shape;
     poses_init: (P, 2, 6). Returns a list of P dicts, each with the same
     keys/shapes as falign() on that 2-frame problem.
+
+    coarse_stride > stride enables the coarse-to-fine LM schedule (see
+    lm_solve): up to 100 cheap iterations at coarse_stride, then at most
+    ``fine_iters`` at ``stride``. Scores/covariances always come from the
+    fine stride.
     """
     depths = np.ascontiguousarray(depths, np.float32)
     P, two, h, w = depths.shape
@@ -267,6 +279,9 @@ def falign_pairs(
         jnp.float32(crw), jnp.asarray(dim_mask), jnp.asarray(gauge_U),
         jnp.float32(consistency_residual_bound),
         use_photo=use_photo, stride=int(stride), bounds=bounds,
+        max_iters=int(fine_iters),
+        coarse_stride=int(coarse_stride),
+        coarse_iters=100 if coarse_stride > stride else 0,
     )
     params_b = np.asarray(params_b)
     covars_b = np.asarray(covars_b)

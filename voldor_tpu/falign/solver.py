@@ -100,7 +100,10 @@ def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
 
 @partial(
     jax.jit,
-    static_argnames=("use_photo", "stride", "max_iters", "n_frames", "bounds"),
+    static_argnames=(
+        "use_photo", "stride", "max_iters", "n_frames", "bounds",
+        "coarse_stride", "coarse_iters",
+    ),
 )
 def lm_solve(
     params0,
@@ -118,30 +121,48 @@ def lm_solve(
     bounds: tuple[int, int],
     max_iters: int = 100,
     n_frames: int = 0,
+    coarse_stride: int = 0,
+    coarse_iters: int = 0,
 ) -> FalignResult:
     """Jointly damped LM; one residual trial per iteration.
 
     gauge_U: optional (K, N*9) indicator rows — one per connected component
     of the pair graph, marking that component's active scale dims (see the
-    gauge-regularizer comment below). None disables the gauge term."""
+    gauge-regularizer comment below). None disables the gauge term.
+
+    coarse_stride/coarse_iters: optional coarse-to-fine schedule. When both
+    are set, the solve first runs up to ``coarse_iters`` LM iterations on
+    the ``coarse_stride``-subsampled residual grid (a strictly cheaper
+    program — pixel count scales as 1/stride^2), then polishes at ``stride``
+    with the remaining ``max_iters`` budget. The coarse phase carries the
+    bulk of the convergence distance, so the expensive fine phase runs only
+    a handful of iterations; the reported covariance, scores, and stopping
+    semantics are all evaluated at the fine stride exactly as the
+    single-phase solve. Measured on the SLAM link workload this halves the
+    batch wall time at equal final cost (docs/PERF_FALIGN.json)."""
     del biconnected
     N = n_frames or params0.shape[0]
     D = N * 9
     fx, fy, cx, cy = intr
 
-    def cost_of(params):
-        def one(pr, pt, ref, tar):
-            r, v = pair_residual_map(
-                pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
-                stride, bounds,
-            )
-            return jnp.sum(r * r)
+    def make_cost_of(stride_p):
+        def cost_of(params):
+            def one(pr, pt, ref, tar):
+                r, v = pair_residual_map(
+                    pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
+                    stride_p, bounds,
+                )
+                return jnp.sum(r * r)
 
-        return 0.5 * jnp.sum(
-            jax.vmap(one)(
-                params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+            return 0.5 * jnp.sum(
+                jax.vmap(one)(
+                    params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+                )
             )
-        )
+
+        return cost_of
+
+    cost_of = make_cost_of(stride)
 
     inactive = (1.0 - dim_mask).reshape(-1)
 
@@ -171,53 +192,73 @@ def lm_solve(
         s_sums = gauge_U @ params.reshape(-1)
         return 0.5 * w2 * jnp.sum(s_sums * s_sums)
 
-    def body(state):
-        params, lam, cost, it, done, w2 = state
-        res, Jr, Jt = _pair_res_and_jacs(
-            params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
+    def run_phase(params_in, it0, stride_p, iters_budget):
+        """One damped-LM while_loop over the stride_p residual grid.
+
+        it0 (traced) is the global iteration counter at phase entry; the
+        gauge weight w2 re-derives from the first Hessian of THIS phase
+        (its typical curvature scales with the phase's pixel count)."""
+        cost_p = make_cost_of(stride_p)
+
+        def body(state):
+            params, lam, cost, it, done, w2 = state
+            res, Jr, Jt = _pair_res_and_jacs(
+                params, pairs, maps, intr, vbf, crw, use_photo, stride_p,
+                bounds, dim_mask,
+            )
+            H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+            w2 = jnp.where(it == it0, gauge_w2(H), w2)
+            s_sums = gauge_U @ params.reshape(-1)
+            H = H + w2 * (gauge_U.T @ gauge_U)
+            g = g + w2 * (gauge_U.T @ s_sums)
+            diag = jnp.maximum(jnp.diag(H), 1e-8)
+            damped = H + jnp.diag(lam * diag + inactive)
+
+            L = jnp.linalg.cholesky(damped)
+            ok = jnp.all(jnp.isfinite(L))
+            Lsafe = jnp.where(ok, L, jnp.eye(D))
+            step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
+            trial = params - step.reshape(N, 9) * dim_mask
+            new_cost = cost_p(trial) + gauge_cost(w2, trial)
+            cur_cost = cost + gauge_cost(w2, params)
+            accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
+            lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
+            rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
+            # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5
+            # is enough for the downstream consistency/visibility gates and
+            # PGO edges; lanes spent 80-100 lockstep iterations shaving
+            # <0.1% cost at 1e-6, docs/PERF_FALIGN.json), negligible
+            # parameter step, or damping blow-up. In the vmapped batch every
+            # live lane pays for the slowest one, so early exit here is a
+            # direct e2e win.
+            step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
+            done = ((accept & (rel_drop < 1e-5))
+                    | (accept & (step_inf < 1e-4))
+                    | (lam > 1e9))
+            cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
+            params = jnp.where(accept, trial, params)
+            return params, lam, cost, it + 1, done, w2
+
+        def cond(state):
+            _, _, _, it, done, _ = state
+            return (it < it0 + iters_budget) & (~done)
+
+        init_cost = cost_p(params_in)
+        return jax.lax.while_loop(
+            cond, body,
+            (params_in, jnp.float32(1e-3), init_cost, it0, jnp.bool_(False),
+             jnp.float32(0.0)),
         )
-        H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
-        w2 = jnp.where(it == 0, gauge_w2(H), w2)
-        s_sums = gauge_U @ params.reshape(-1)
-        H = H + w2 * (gauge_U.T @ gauge_U)
-        g = g + w2 * (gauge_U.T @ s_sums)
-        diag = jnp.maximum(jnp.diag(H), 1e-8)
-        damped = H + jnp.diag(lam * diag + inactive)
 
-        L = jnp.linalg.cholesky(damped)
-        ok = jnp.all(jnp.isfinite(L))
-        Lsafe = jnp.where(ok, L, jnp.eye(D))
-        step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
-        trial = params - step.reshape(N, 9) * dim_mask
-        new_cost = cost_of(trial) + gauge_cost(w2, trial)
-        cur_cost = cost + gauge_cost(w2, params)
-        accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
-        lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
-        rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
-        # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5 is
-        # enough for the downstream consistency/visibility gates and PGO
-        # edges; lanes spent 80-100 lockstep iterations shaving <0.1% cost
-        # at 1e-6, docs/PERF_FALIGN.json), negligible parameter step, or
-        # damping blow-up. In the vmapped batch every live lane pays for
-        # the slowest one, so early exit here is a direct e2e win.
-        step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
-        done = ((accept & (rel_drop < 1e-5))
-                | (accept & (step_inf < 1e-4))
-                | (lam > 1e9))
-        cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
-        params = jnp.where(accept, trial, params)
-        return params, lam, cost, it + 1, done, w2
-
-    def cond(state):
-        _, _, _, it, done, _ = state
-        return (it < max_iters) & (~done)
-
-    init_cost = cost_of(params0)
-    params, lam, cost, it, _, _ = jax.lax.while_loop(
-        cond, body,
-        (params0, jnp.float32(1e-3), init_cost, jnp.int32(0), jnp.bool_(False),
-         jnp.float32(0.0)),
-    )
+    if coarse_stride > stride and coarse_iters > 0:
+        params_c, _, _, it_c, _, _ = run_phase(
+            params0, jnp.int32(0), coarse_stride, coarse_iters
+        )
+        params, lam, cost, it, _, _ = run_phase(params_c, it_c, stride, max_iters)
+    else:
+        params, lam, cost, it, _, _ = run_phase(
+            params0, jnp.int32(0), stride, max_iters
+        )
 
     # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
     # exactly the information the reference's block-diagonal problem exposes

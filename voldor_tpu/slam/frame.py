@@ -60,12 +60,16 @@ class Frame:
         self.conf_dev = conf_dev
 
     def release_device(self):
-        """Materialize host copies and drop the device references (called
-        when this frame stops being a prior keyframe, bounding device
-        memory to the two active prior frames)."""
+        """Drop the device references (called when this frame stops being a
+        prior keyframe, bounding device memory to the two active prior
+        frames). Host copies materialize first ONLY for keyframes — they
+        are the only frames whose maps are ever read again (falign links,
+        save_depth_maps, viewer); transferring every window's ~0.9 MB over
+        the remote tunnel measurably slowed the VO pipeline."""
         if self.depth_dev is not None:
-            _ = self.depth
-            _ = self.depth_conf
+            if self.is_keyframe:
+                _ = self.depth
+                _ = self.depth_conf
             self.depth_dev = None
             self.conf_dev = None
 

@@ -66,6 +66,15 @@ class VOLDOR_SLAM:
         self.falign_lc_link_stride = 3
         self.falign_lc_depth_gblur_width = 5
         self.falign_lc_image_gblur_width = 9
+        # Coarse-to-fine LM schedule for the batched link solves (TPU knob,
+        # no reference analog): the bulk of LM iterations run at
+        # coarse_factor x the link stride (1/coarse_factor^2 residual
+        # pixels), then <= fine_iters polish at the link stride. The batched
+        # LM runs lockstep to its slowest lane, so shifting the slow lanes'
+        # iterations onto the cheap grid cuts the dominant mapping cost
+        # ~2x at equal gates/ATE (docs/PERF_FALIGN.json). 0 disables.
+        self.falign_coarse_factor = 2
+        self.falign_fine_iters = 25
 
         # loop closure (voldor_slam.py:115-119). Score threshold: the
         # reference's 0.04 is on DBoW3's L1 score scale; BowRetriever scores
@@ -74,15 +83,22 @@ class VOLDOR_SLAM:
         # P=1.0/R=1.0 — geometry_check gates the residual false positives
         # downstream either way.
         self.lc_bow_score_thresh = 0.55
+        self.lc_geo_inlier_thresh = 0.4
         # Cold-start schedule (VERDICT r3 #7): before the first k-majority
         # vocabulary fit the retriever scores on RANDOM prototypes, where
-        # 0.55 only reaches P=0.64 (docs/LC_PR.json bow_random). Until
-        # `retriever.trained`, candidates must clear this stricter bar
-        # instead (bow_random: P=0.88/R=0.77 at 0.65, P=1.0/R=0.33 at
-        # 0.70; 0.68 sits on that knee). Retrievers without a `trained`
-        # attribute (ThumbnailRetriever) are treated as always-trained.
-        self.lc_bow_cold_thresh = 0.68
-        self.lc_geo_inlier_thresh = 0.4
+        # 0.55 only reaches P=0.57 (docs/LC_PR.json bow_random). Raising
+        # the BoW bar instead (a 0.68 cold threshold, tried first) costs
+        # recall 0.83 -> 0.43 and blinded LC entirely on short sequences
+        # whose vocabulary never accumulates enough descriptors to train
+        # (the 60-frame bench scene went from 13 LC edges to 0). Recall is
+        # unrecoverable downstream; precision is not — so cold candidates
+        # keep the 0.55 retrieval bar and must instead clear this STRICTER
+        # geometry_check inlier rate (the discriminative signal that
+        # actually separates true revisits from random-vocab noise; the
+        # falign consistency/visibility gates then re-check every surviving
+        # pair). Retrievers without a `trained` attribute
+        # (ThumbnailRetriever) are treated as always-trained.
+        self.lc_geo_inlier_cold_thresh = 0.5
         self.lc_min_kf_distance = 20
         self.lc_link_visibility_thresh = 0.65
         self.lc_link_consistency_thresh = 0.75
@@ -525,6 +541,12 @@ class VOLDOR_SLAM:
             pad_window_to=self.voldor_winsize,
             poses_init=inputs["poses_init"],
             covis_spec=inputs["covis_spec"],
+            # dense host copies are deferred to keyframe windows
+            # (process_vo calls start_host_copies at the kf decision):
+            # ~0.9 MB/window of remote-tunnel traffic that non-keyframe
+            # windows never consume. mono-scaled fits on the host every
+            # window; debug dumps need every map.
+            host_copies=(self.mode == "mono-scaled") or bool(self.debug_dir),
         )
 
     def process_vo(self):
@@ -643,6 +665,11 @@ class VOLDOR_SLAM:
                 else:
                     kf_append = self.fid_cur
                     self.fid_cur_spakf = self.fid_cur
+                if kf_append is not None:
+                    # this window's frame 0 becomes a keyframe: start the
+                    # deferred dense D2H copies now (they overlap the next
+                    # window's device time; mapping reads the host maps)
+                    handle.start_host_copies()
 
                 # deferred to after the next window's dispatch: the dense
                 # conf stat would otherwise complete its device->host copy
@@ -691,10 +718,18 @@ class VOLDOR_SLAM:
 
             if win_log is not None:
                 f0 = win_log.pop("_frame")
+                # only when host maps exist or were enqueued (keyframe /
+                # mono-scaled windows): forcing a dense D2H here would
+                # reintroduce the per-window tunnel transfer the deferred-
+                # copy scheme removes. -1 marks 'not materialized'.
+                conf_avail = (f0._depth_conf is not None
+                              or (f0.is_keyframe and f0.conf_dev is not None))
                 self.metrics.log(
                     "vo_window",
                     window_s=round(_time.perf_counter() - _t0, 4),
-                    mean_depth_conf=float(np.mean(f0.depth_conf)),
+                    mean_depth_conf=(
+                        float(np.mean(f0.depth_conf)) if conf_avail else -1.0
+                    ),
                     **win_log,
                 )
         return True
@@ -764,10 +799,26 @@ class VOLDOR_SLAM:
 
         if not pair_list:
             return
-        # chunk to the largest bucket so one call never exceeds 16 pairs
-        if len(pair_list) > 16:
-            for i in range(0, len(pair_list), 16):
+        # Two-bucket chunking {4, 16}: each falign executable is compiled
+        # per (lane bucket, stride, photo) and a compile costs 60-90 s on
+        # this platform — with the mapping scheduler's timing-dependent
+        # batching, a rich bucket lattice ({1,2,4,8,16} was tried) makes
+        # the set of compiled executables nondeterministic across runs and
+        # a 'warm' pass can hit an uncompiled bucket mid-run. Two buckets
+        # keep the worst lane padding bounded (a 1-pair dispatch pays 4
+        # lanes; the batched LM's cost is near-linear in lanes,
+        # docs/PERF_FALIGN.json) while a 9..16-pair dispatch still avoids
+        # the old 2x pad-to-16 waste via a 16 + remainder split only when
+        # the remainder itself fills a bucket.
+        P = len(pair_list)
+        if P > 16:
+            for i in range(0, P, 16):
                 self.establish_links_batch(pair_list[i : i + 16], kind=kind)
+            return
+        if 5 <= P <= 8:
+            # two 4-buckets beat one padded 16 (8 vs 16 lane-iterations)
+            self.establish_links_batch(pair_list[:4], kind=kind)
+            self.establish_links_batch(pair_list[4:], kind=kind)
             return
         is_lc = kind == "lc"
         stride = self.falign_lc_link_stride if is_lc else self.falign_local_link_stride
@@ -805,14 +856,10 @@ class VOLDOR_SLAM:
                         images.append(self._gblur(self.images_grayf[fid], i_blur))
 
             P = len(pair_list)
-            # pad the pair (lane) axis to power-of-two buckets {1,2,4,8,16}:
-            # each bucket x stage is one XLA executable (log-many compiles),
-            # and the batched LM runs lockstep to its slowest lane, so a
-            # tight bucket directly cuts wasted lane-iterations (the old
-            # {1,4,16} buckets padded the common 5-9-pair dispatches to 16 —
-            # ~2x waste, docs/PERF_SLAM_PHASES.json). Pad lanes repeat
-            # pair 0 with zero weights (inert).
-            Pb = 1 << max(0, (P - 1).bit_length())
+            # pad the pair (lane) axis to the {4, 16} bucket (see the
+            # chunking comment above). Pad lanes repeat pair 0 with zero
+            # weights (inert).
+            Pb = 4 if P <= 4 else 16
             for _ in range(Pb - P):
                 depths += depths[:2]
                 weights += [np.zeros_like(weights[0])] * 2
@@ -833,6 +880,9 @@ class VOLDOR_SLAM:
                 vbf=self.basefocal * self.falign_vbf_factor,
                 crw=self.falign_crw,
             )
+            if self.falign_coarse_factor:
+                kwargs["coarse_stride"] = stride * self.falign_coarse_factor
+                kwargs["fine_iters"] = self.falign_fine_iters
             if is_lc:
                 rets = falign_pairs(**kwargs)  # stage 1: geometry only
                 if self.use_image_info:
@@ -927,20 +977,22 @@ class VOLDOR_SLAM:
             import cv2
 
             gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-            thresh = (
-                self.lc_bow_score_thresh
+            # cold-start schedule: same retrieval bar, stricter geometry
+            # bar until the vocabulary trains (see __init__ rationale)
+            geo_thresh = (
+                self.lc_geo_inlier_thresh
                 if getattr(self.retriever, "trained", True)
-                else self.lc_bow_cold_thresh
+                else self.lc_geo_inlier_cold_thresh
             )
             for rid, score in self.retriever.query_frame(gray, des):
-                if score > thresh:
+                if score > self.lc_bow_score_thresh:
                     if len(self.kf_ids) - rid < self.lc_min_kf_distance:
                         continue
                     other = self.frames[self.kf_ids[rid]]
                     if des is None or other.des is None:
                         continue
                     inlier_rate = geometry_check(kps, des, other.kps, other.des)
-                    if inlier_rate > self.lc_geo_inlier_thresh:
+                    if inlier_rate > geo_thresh:
                         self.lc_candidates.append((rid, len(self.kf_ids) - 1))
             self.retriever.add_frame(gray, des)
 

@@ -24,7 +24,7 @@ class VoWindow:
     next window's device execution (slam/system.py pipelined driver)."""
 
     def __init__(self, engine, cfg, n_true, conf_dev, covis_dev,
-                 spakf_covis_dev):
+                 spakf_covis_dev, host_copies=True):
         self.engine = engine
         self.cfg = cfg
         self.n_true = n_true
@@ -33,10 +33,23 @@ class VoWindow:
         self._covis_dev = covis_dev
         self._spakf_covis_dev = spakf_covis_dev
         self._res = None
-        # enqueue the D2H transfers now: they fire the moment the solve
-        # finishes, overlapping the covis dispatch and the host epilogue
-        self.depth_dev.copy_to_host_async()
-        self.conf_dev.copy_to_host_async()
+        self._host_copies_started = False
+        # host_copies=True enqueues the dense D2H transfers now: they fire
+        # the moment the solve finishes, overlapping the covis dispatch and
+        # the host epilogue. The pipelined mono driver passes False and
+        # calls start_host_copies() only for keyframe windows — the ~0.9 MB
+        # depth+conf transfer costs ~55 ms of remote-tunnel time per window
+        # (docs/PLATFORM_NOTES.md rates), and the next window's scalar
+        # readback queues behind it.
+        if host_copies:
+            self.start_host_copies()
+
+    def start_host_copies(self):
+        """Enqueue the dense depth/conf D2H copies (idempotent)."""
+        if not self._host_copies_started:
+            self._host_copies_started = True
+            self.depth_dev.copy_to_host_async()
+            self.conf_dev.copy_to_host_async()
 
     def collect(self) -> dict:
         """Block on the solve; ONE batched scalar readback. Returns the
@@ -90,6 +103,7 @@ def voldor_dispatch(
     pad_window_to: int | None = None,
     poses_init: np.ndarray | None = None,
     covis_spec: dict | None = None,
+    host_copies: bool = True,
 ) -> VoWindow:
     """Queue one VO window asynchronously; see VoWindow.
 
@@ -155,7 +169,8 @@ def voldor_dispatch(
                 engine.poses6, n_flows_dev, np.asarray(M, np.float32),
                 K, thresh, n_cap=n_true,
             )
-    return VoWindow(engine, cfg, n_true, conf_dev, covis_dev, spakf_covis_dev)
+    return VoWindow(engine, cfg, n_true, conf_dev, covis_dev, spakf_covis_dev,
+                    host_copies=host_copies)
 
 
 def voldor(

@@ -750,6 +750,20 @@ class VoldorEngine:
 
         compress = cfg.transfer_dtype == "float16"
         self.flows = _put_f16(flows) if compress else jnp.asarray(flows)
+        # bootstrap (window 0 only) runs cv2's 5-point on the HOST: keep the
+        # caller's host copy of flow 0 so it never pays a device->host
+        # round trip (~30-70ms on the remote tunnel) re-fetching data that
+        # originated on the host one call earlier. Rounded through the
+        # transfer dtype so the kept copy is bit-identical to what the old
+        # read-back path saw (bootstrap numerics must not depend on this
+        # optimization).
+        if isinstance(flows, np.ndarray):
+            f0 = np.asarray(flows[0], np.float32)
+            self._flow0_host = (
+                f0.astype(np.float16).astype(np.float32) if compress else f0
+            )
+        else:
+            self._flow0_host = None
         self.rigidness = jnp.ones((N, h, w), jnp.float32)
         self.poses6 = jnp.zeros((N, 6), jnp.float32)
         if poses_init is not None:
@@ -815,7 +829,8 @@ class VoldorEngine:
             # bootstraps are reproducible (bootstrap variance otherwise
             # dominates run-to-run accuracy spread on noisy flow).
             cv2.setRNGSeed(int(cfg.seed))
-            flow0 = np.asarray(self.flows[0])
+            flow0 = (self._flow0_host if self._flow0_host is not None
+                     else np.asarray(self.flows[0]))
             h, w = flow0.shape[:2]
             # ~3k correspondences: LMedS runtime is superlinear in points
             # (113k points cost ~1.7s host-side; measured on the degraded
