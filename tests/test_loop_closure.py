@@ -170,11 +170,14 @@ def test_append_kf_works_with_bow_retriever(rng):
     assert any(rid == 0 and qid == 2 for rid, qid in slam.lc_candidates)
 
 
-def test_lc_cold_start_threshold_schedule(rng):
-    """Until the BoW vocabulary's first k-majority fit, append_kf must gate
-    candidates at the stricter lc_bow_cold_thresh (docs/LC_PR.json
-    cold_start: the random vocab only reaches P=0.64 at the trained-vocab
-    threshold). VERDICT r3 #7."""
+def test_lc_cold_start_geometry_schedule(rng):
+    """Until the BoW vocabulary's first k-majority fit, append_kf keeps the
+    retrieval bar (recall is unrecoverable downstream) but gates candidates
+    at the STRICTER cold geometry-inlier threshold (docs/LC_PR.json
+    bow_random: P=0.57 at the 0.55 retrieval bar — the precision is
+    recovered geometrically, not by blinding retrieval; a pure-BoW 0.68
+    cold threshold cost recall 0.83->0.43 and produced zero LC edges on
+    the 60-frame bench scene). VERDICT r3 #7."""
     cv2 = pytest.importorskip("cv2")
     from voldor_tpu.slam.frame import Frame
     from voldor_tpu.slam.system import VOLDOR_SLAM
@@ -193,30 +196,31 @@ def test_lc_cold_start_threshold_schedule(rng):
     slam.images_bgri = [cv2.cvtColor(i, cv2.COLOR_GRAY2BGR) for i in imgs]
     slam.frames = [Frame(np.eye(4)) for _ in imgs]
 
-    seen_scores = []
-    orig_query = slam.retriever.query_frame
+    seen_geo = []
+    import voldor_tpu.slam.system as S
 
-    def spy(gray, des, max_results=8):
-        res = orig_query(gray, des, max_results)
-        seen_scores.extend(s for _, s in res)
-        return res
+    orig_geo = S.geometry_check
 
-    slam.retriever.query_frame = spy
-    for fid in range(3):
-        slam.append_kf(fid)
+    def spy(*a, **kw):
+        r = orig_geo(*a, **kw)
+        seen_geo.append(r)
+        return r
+
+    S.geometry_check = spy
+    try:
+        for fid in range(3):
+            slam.append_kf(fid)
+    finally:
+        S.geometry_check = orig_geo
 
     assert not slam.retriever.trained
-    # every candidate that passed must have cleared the COLD threshold —
-    # scores in (0.55, 0.68] must NOT have produced candidates
-    weak = [s for s in seen_scores if slam.lc_bow_score_thresh < s <= slam.lc_bow_cold_thresh]
-    strong = [s for s in seen_scores if s > slam.lc_bow_cold_thresh]
-    # an exact revisit of an identical image scores ~1.0 even on the
-    # random vocab, so the true loop (2 -> 0) still surfaces
+    # an exact revisit of an identical image passes even the strict cold
+    # geometry bar, so the true loop (2 -> 0) still surfaces
     assert any(rid == 0 and qid == 2 for rid, qid in slam.lc_candidates)
-    assert len(slam.lc_candidates) <= len(strong)
-    # the schedule collapses to the default once trained
-    slam.retriever.trained = True
-    thresh = (slam.lc_bow_score_thresh
-              if getattr(slam.retriever, "trained", True)
-              else slam.lc_bow_cold_thresh)
-    assert thresh == slam.lc_bow_score_thresh
+    # every accepted candidate cleared the COLD geometry bar — inlier
+    # rates in (0.4, 0.5] must NOT have produced candidates while cold
+    n_clearing_cold = sum(
+        1 for g in seen_geo if g > slam.lc_geo_inlier_cold_thresh
+    )
+    assert len(slam.lc_candidates) <= n_clearing_cold
+    assert slam.lc_geo_inlier_cold_thresh > slam.lc_geo_inlier_thresh

@@ -36,7 +36,7 @@ H, W = 192, 256
 N_PLACES = 30
 N_NOVEL = 15
 DEFAULT_THRESH = 0.55  # VOLDOR_SLAM.lc_bow_score_thresh
-COLD_THRESH = 0.68     # VOLDOR_SLAM.lc_bow_cold_thresh (untrained vocab)
+COLD_THRESH = 0.68     # the REJECTED pure-BoW cold threshold (kept for the record)
 
 
 def make_place(seed: int, rng: np.random.Generator) -> np.ndarray:
@@ -202,12 +202,16 @@ def main():
     results = eval_placeset(procedural, cv2, rng)
     results_real = eval_placeset(real, cv2, rng)
 
-    # the shipped cold-start schedule (system.py lc_bow_cold_thresh): the
-    # untrained (random-vocab) phase runs at COLD_THRESH — report its
-    # operating point on BOTH placesets next to what the old behavior
-    # (default thresh on the random vocab) would have done.
+    # Cold-start record: a pure-BoW cold threshold (0.68) was tried and
+    # REJECTED — at_cold below shows why (recall 0.83 -> 0.43 on the
+    # random vocab; the 60-frame bench scene lost every LC edge). The
+    # shipped schedule keeps retrieval at the default threshold when cold
+    # and raises the geometry_check inlier bar instead
+    # (system.py lc_geo_inlier_cold_thresh); retrieval-level precision at
+    # the default threshold (the 'old_behavior' rows) is therefore the
+    # relevant cold operating point, with geometry recovering precision.
     cold = {
-        "cold_thresh": COLD_THRESH,
+        "rejected_pure_bow_cold_thresh": COLD_THRESH,
         "procedural": {
             "at_cold": results["bow_random"]["at_cold_thresh"],
             "old_behavior_at_default": results["bow_random"]["at_default_thresh"],

@@ -82,15 +82,25 @@ def _hamming_dist(a_packed: np.ndarray, b_packed: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distances between packed binary descriptors.
 
     a_packed: (A, 32) uint8, b_packed: (B, 32) uint8 -> (A, B) uint16.
-    Chunked XOR + popcount (np.bitwise_count); ~33 MB of scratch max.
+    Chunked XOR + popcount over uint64 VIEWS of the packed rows (4 lanes
+    per descriptor instead of 32 bytes — 8x fewer element ops; the refit
+    at keyframe ~10 sat 8.8s on the single-core host with the uint8 path,
+    docs/PERF_SLAM_PHASES.json append_kf call 10); ~33 MB scratch max.
     """
-    A = a_packed.shape[0]
-    B = b_packed.shape[0]
-    out = np.empty((A, B), np.uint16)
-    chunk = max(1, (32 << 20) // max(1, B * 32))
+    a64 = np.ascontiguousarray(a_packed).view(np.uint64)  # (A, 4)
+    b64 = np.ascontiguousarray(b_packed).view(np.uint64)  # (B, 4)
+    A, B = a64.shape[0], b64.shape[0]
+    out = np.zeros((A, B), np.uint16)
+    # one 2-D broadcast per uint64 lane: numpy's 3-D broadcast XOR takes a
+    # ~15x slower ufunc path than the 2-D one on the same data (measured
+    # 3.2s vs 0.2s at 8192x512 on this host)
+    chunk = max(1, (32 << 20) // max(1, B * 8))
     for s in range(0, A, chunk):
-        x = a_packed[s : s + chunk, None, :] ^ b_packed[None, :, :]
-        out[s : s + chunk] = np.bitwise_count(x).sum(-1, dtype=np.uint16)
+        for k in range(4):
+            ak = np.ascontiguousarray(a64[s : s + chunk, k])
+            out[s : s + chunk] += np.bitwise_count(
+                ak[:, None] ^ b64[None, :, k]
+            ).astype(np.uint16)
     return out
 
 
@@ -116,10 +126,16 @@ def _kmajority(des: np.ndarray, n_words: int, init_words: np.ndarray,
             break
         assign = new_assign
         counts = np.bincount(assign, minlength=n_words)
-        # majority update: per-cluster mean of unpacked bits > 0.5
-        bits = np.unpackbits(des, axis=1).astype(np.float32)  # (T, 256)
-        sums = np.zeros((n_words, 256), np.float32)
-        np.add.at(sums, assign, bits)
+        # majority update: per-cluster popular vote on each of the 256 bits.
+        # One C-speed bincount per bit column — np.add.at's scatter path is
+        # ~20x slower on the same data (single-core host, see _hamming_dist
+        # note).
+        bits = np.unpackbits(des, axis=1)  # (T, 256) uint8
+        sums = np.stack(
+            [np.bincount(assign, weights=bits[:, j], minlength=n_words)
+             for j in range(256)],
+            axis=1,
+        )  # (n_words, 256)
         nz = counts > 0
         maj = (sums[nz] * 2 > counts[nz, None]).astype(np.uint8)
         words[nz] = np.packbits(maj, axis=1)
