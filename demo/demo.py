@@ -61,7 +61,12 @@ if __name__ == "__main__":
         slam.debug_dir = opt.debug_dir
 
     if opt.enable_loop_closure is not None:
-        slam.enable_loop_closure(opt.enable_loop_closure)
+        # bare --enable_loop_closure -> built-in online vocabulary;
+        # --enable_loop_closure PATH -> DBoW text vocabulary (ORBvoc.txt)
+        slam.enable_loop_closure(
+            None if opt.enable_loop_closure == "builtin"
+            else opt.enable_loop_closure
+        )
 
     if opt.load_map:
         from voldor_tpu.slam.checkpoint import load_map

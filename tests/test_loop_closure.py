@@ -224,3 +224,100 @@ def test_lc_cold_start_geometry_schedule(rng):
     )
     assert len(slam.lc_candidates) <= n_clearing_cold
     assert slam.lc_geo_inlier_cold_thresh > slam.lc_geo_inlier_thresh
+
+
+def _write_tiny_vocab(path, k=2, L=2):
+    """A k=2, L=2 DBoW-text vocabulary: 2 internal nodes, 4 leaf words.
+
+    Left subtree lives near 0x00 descriptors, right subtree near 0xFF —
+    greedy tree descent and brute-force nearest-leaf agree by construction.
+    """
+    words = np.array([
+        [0x00] * 32,                     # word 0 (leaf of node 1)
+        [0x0F] * 32,                     # word 1 (leaf of node 1)
+        [0xF0] * 32,                     # word 2 (leaf of node 2)
+        [0xFF] * 32,                     # word 3 (leaf of node 2)
+    ], np.uint8)
+    internal = np.array([[0x03] * 32, [0xFC] * 32], np.uint8)
+    lines = [f"{k} {L} 0 0"]
+    # nodes 1, 2: children of root, internal
+    for d in internal:
+        lines.append("0 0 " + " ".join(str(b) for b in d) + " 0")
+    # nodes 3, 4 under node 1; nodes 5, 6 under node 2 — all leaves
+    for parent, w in ((1, 0), (1, 1), (2, 2), (2, 3)):
+        lines.append(
+            f"{parent} 1 " + " ".join(str(b) for b in words[w])
+            + f" {0.1 * (w + 1):.3f}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return words
+
+
+def test_dbow_text_vocabulary_loads_and_quantizes(tmp_path):
+    """The DBoW2/ORB-SLAM text format loads into a TreeVocabulary whose
+    greedy descent matches brute-force nearest-leaf on descriptors near
+    each word (reference: enable_loop_closure's voc.load,
+    voldor_slam.py:340-359)."""
+    from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+
+    path = tmp_path / "tinyvoc.txt"
+    words = _write_tiny_vocab(path)
+    voc = load_dbow_text_vocabulary(str(path))
+    assert (voc.k, voc.L, voc.n_words) == (2, 2, 4)
+    np.testing.assert_allclose(voc.word_weights, [0.1, 0.2, 0.3, 0.4],
+                               rtol=1e-5)
+    # exact word descriptors map to their own word id
+    assert voc.quantize(words).tolist() == [0, 1, 2, 3]
+    # single-bit perturbations stay on the same word
+    rng = np.random.default_rng(5)
+    for w in range(4):
+        d = words[w].copy()
+        d[rng.integers(32)] ^= 1 << rng.integers(8)
+        assert int(voc.quantize(d[None])[0]) == w
+
+
+def test_dbow_vocabulary_rejects_malformed(tmp_path):
+    from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("this is not a vocabulary\n1 2 3\n")
+    with pytest.raises(ValueError):
+        load_dbow_text_vocabulary(str(bad))
+
+
+def test_bow_retriever_with_pretrained_vocabulary(tmp_path, rng):
+    """A vocabulary-backed retriever is trained from frame 0 (no cold-start
+    schedule), quantizes through the tree, and still ranks an exact revisit
+    first on ORB descriptors."""
+    cv2 = pytest.importorskip("cv2")
+    from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+
+    # realistic tiny vocab: k-majority words from ORB descriptors of the
+    # harness places, arranged as a depth-1 tree (k = n_words)
+    orb = cv2.ORB_create()
+    pool = []
+    for s in range(6):
+        img = _textured_place(rng, s)
+        _, des = orb.detectAndCompute(img, None)
+        if des is not None:
+            pool.append(des)
+    pool = np.concatenate(pool)[:800]
+    n_words = 32
+    sel = np.random.default_rng(0).choice(len(pool), n_words, replace=False)
+    lines = ["32 1 0 0"]
+    for d in pool[sel]:
+        lines.append("0 1 " + " ".join(str(b) for b in d) + " 1.0")
+    path = tmp_path / "voc.txt"
+    path.write_text("\n".join(lines) + "\n")
+
+    voc = load_dbow_text_vocabulary(str(path))
+    r = BowRetriever(vocabulary=voc)
+    assert r.trained and r.n_words == n_words
+    places = [_textured_place(rng, s) for s in range(4)]
+    for img in places:
+        _, des = orb.detectAndCompute(img, None)
+        r.add_frame(img, des)
+    _, qdes = orb.detectAndCompute(places[2], None)
+    res = r.query_frame(places[2], qdes)
+    assert res and res[0][0] == 2 and res[0][1] > 0.9

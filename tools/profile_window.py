@@ -99,8 +99,84 @@ def main():
               flush=True)
         return med
 
+    def stage_decomposition(reps=TRIALS):
+        """Serialize the dispatch chain with a device sync after each stage.
+
+        Mirrors voldor_dispatch's internals (vo/api.py) stage by stage.
+        Per-stage sync adds ~one tunnel latency each, so the stage sum
+        exceeds the pipelined 'full' number — the RATIOS are the signal.
+        """
+        from voldor_tpu.config import VoldorConfig
+        from voldor_tpu.ops.covis import covis_keyframe, covis_window
+        from voldor_tpu.vo.engine import VoldorEngine, _depth_confidence_jit
+
+        cfg = VoldorConfig(fx=350.0, fy=350.0, cx=W / 2, cy=H / 2,
+                           basefocal=175.0)
+        K_np = np.array([[350.0, 0, W / 2], [0, 350.0, H / 2], [0, 0, 1]],
+                        np.float32)
+        M_np = np.eye(4, dtype=np.float32)
+        kf = base_kw["covis_spec"]["spakf"]
+        stages = {}
+
+        def run_once(record):
+            def mark(name, t0):
+                if record:
+                    stages.setdefault(name, []).append(
+                        time.perf_counter() - t0
+                    )
+
+            t0 = time.perf_counter()
+            engine = VoldorEngine(cfg)
+            engine.init(
+                flows_np,
+                depth_priors=[prior0, prior1],
+                depth_prior_poses=prior_poses,
+                depth_prior_pconfs=[pconf, pconf],
+            )
+            jax.block_until_ready(engine.depth)
+            mark("upload_init_fusion", t0)
+            t0 = time.perf_counter()
+            engine.solve(defer_host=True)
+            jax.block_until_ready(engine.poses6)
+            mark("solve", t0)
+            t0 = time.perf_counter()
+            conf = _depth_confidence_jit(
+                engine.rigidness, engine.dp_confs, engine._st_scalars[0]
+            )
+            jax.block_until_ready(conf)
+            mark("depth_conf", t0)
+            t0 = time.perf_counter()
+            cv = covis_window(
+                engine.depth, conf, engine.poses6, engine._st_scalars[0],
+                K_np, np.float32(0.3), n_cap=WINDOW,
+            )
+            cv2_ = covis_keyframe(
+                kf[0], kf[1], np.float32(kf[2]),
+                engine.poses6, engine._st_scalars[0], M_np, K_np,
+                np.float32(0.3), n_cap=WINDOW,
+            )
+            jax.block_until_ready((cv, cv2_))
+            mark("covis", t0)
+            t0 = time.perf_counter()
+            engine.finalize_host(
+                [engine.poses6[:WINDOW], engine.pose_covars[:WINDOW], cv, cv2_]
+            )
+            mark("scalar_readback", t0)
+
+        run_once(False)  # compile + warm
+        run_once(False)
+        for _ in range(reps):
+            run_once(True)
+        rec = {}
+        for name, ts in stages.items():
+            ts.sort()
+            rec[name] = round(ts[len(ts) // 2] * 1e3, 1)
+        print(json.dumps({"stage_decomposition_ms": rec}), flush=True)
+        return rec
+
     out = {}
     out["full"] = timed("full (bench steady-state)")
+    out["stages"] = stage_decomposition()
     out["no_covis"] = timed("no_covis", covis_spec=None)
     out["one_prior"] = timed(
         "one_prior",

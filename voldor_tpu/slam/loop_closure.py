@@ -147,6 +147,110 @@ def _kmajority(des: np.ndarray, n_words: int, init_words: np.ndarray,
     return words
 
 
+class TreeVocabulary:
+    """A pretrained DBoW2/3 vocabulary tree over binary descriptors.
+
+    The reference loads a pretrained ORB vocabulary through pyDBoW3
+    (voldor_slam.py:340-359). This class carries the same artifact —
+    a k-ary tree of depth L whose leaves are the words — and performs
+    the one operation retrieval needs: descriptor -> word-id quantization
+    by greedy nearest-child descent (k*L Hamming comparisons instead of
+    n_words, which matters at ORBvoc scale: 10^6 leaves).
+
+    Built by `load_dbow_text_vocabulary` from the DBoW2/ORB-SLAM text
+    format (`ORBvoc.txt`, optionally gzipped): header `k L scoring
+    weighting`, then one node per line `parentId isLeaf b0..b31 weight`,
+    nodes appended in file order under an implicit root (node 0), word
+    ids assigned to leaves in file order.
+    """
+
+    def __init__(self, k: int, L: int, children: np.ndarray,
+                 node_des: np.ndarray, leaf_word: np.ndarray,
+                 word_weights: np.ndarray):
+        self.k = k
+        self.L = L
+        self.children = children        # (n_nodes, k) int32, -1 = none
+        self.node_des = node_des        # (n_nodes, 32) uint8
+        self.leaf_word = leaf_word      # (n_nodes,) int32, -1 = not a leaf
+        self.word_weights = word_weights.astype(np.float32)  # (n_words,)
+        self.n_words = int(word_weights.shape[0])
+
+    def quantize(self, des: np.ndarray) -> np.ndarray:
+        """(B, 32) packed uint8 -> (B,) word ids."""
+        des = np.ascontiguousarray(des, np.uint8)
+        B = des.shape[0]
+        cur = np.zeros(B, np.int32)  # root
+        done = np.zeros(B, bool)
+        for _ in range(self.L + 1):
+            kids = self.children[cur]                    # (B, k)
+            has_kids = kids[:, 0] >= 0
+            active = ~done & has_kids
+            if not active.any():
+                break
+            ka = kids[active]                            # (A, k)
+            cand = self.node_des[np.maximum(ka, 0)]      # (A, k, 32)
+            d = np.bitwise_count(
+                cand ^ des[active][:, None, :]
+            ).sum(-1).astype(np.int32)
+            d[ka < 0] = 1 << 30                          # padded slots
+            cur[active] = ka[np.arange(ka.shape[0]), np.argmin(d, axis=1)]
+            done |= ~has_kids
+        w = self.leaf_word[cur]
+        # a malformed tree could land on an internal node; map to word 0
+        return np.maximum(w, 0).astype(np.int64)
+
+
+def load_dbow_text_vocabulary(path: str) -> TreeVocabulary:
+    """Parse a DBoW2/ORB-SLAM text vocabulary (`ORBvoc.txt`[.gz]).
+
+    Raises ValueError on anything that does not look like that format
+    (callers fall back to the online-learned vocabulary)."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt") as f:
+        header = f.readline().split()
+        if len(header) != 4:
+            raise ValueError(f"not a DBoW text vocabulary header: {header!r}")
+        k, L = int(header[0]), int(header[1])
+        parents, leaves, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 2 + 32 + 1:
+                raise ValueError(
+                    f"bad vocabulary node line ({len(parts)} fields)"
+                )
+            parents.append(int(parts[0]))
+            leaves.append(int(parts[1]) != 0)
+            descs.append([int(b) for b in parts[2:34]])
+            weights.append(float(parts[34]))
+    n = len(parents) + 1  # + implicit root
+    children = np.full((n, k), -1, np.int32)
+    child_count = np.zeros(n, np.int32)
+    node_des = np.zeros((n, 32), np.uint8)
+    leaf_word = np.full(n, -1, np.int32)
+    word_weights = []
+    for i in range(len(parents)):
+        nid = i + 1
+        p = parents[i]
+        if not (0 <= p < nid):
+            raise ValueError(f"node {nid}: bad parent {p}")
+        if child_count[p] >= k:
+            raise ValueError(f"node {p}: more than k={k} children")
+        children[p, child_count[p]] = nid
+        child_count[p] += 1
+        node_des[nid] = np.asarray(descs[i], np.uint8)
+        if leaves[i]:
+            leaf_word[nid] = len(word_weights)
+            word_weights.append(weights[i])
+    if not word_weights:
+        raise ValueError("vocabulary has no leaf words")
+    return TreeVocabulary(k, L, children, node_des, leaf_word,
+                          np.asarray(word_weights, np.float64))
+
+
 class BowRetriever:
     """Online bag-of-binary-words with TF-IDF scoring over ORB descriptors.
 
@@ -164,11 +268,25 @@ class BowRetriever:
     def __init__(self, n_words: int = 512, seed: int = 233,
                  train_min_descriptors: int | None = None,
                  retrain_growth: float = 2.0,
-                 max_train_descriptors: int = 8192):
+                 max_train_descriptors: int = 8192,
+                 vocabulary: TreeVocabulary | None = None):
         rng = np.random.default_rng(seed)
         self._rng = rng
-        self.words = rng.integers(0, 256, size=(n_words, 32), dtype=np.uint8)
-        self.trained = False  # becomes True after the first k-majority fit
+        # A pretrained TreeVocabulary (DBoW ORBvoc) replaces both the
+        # random cold-start words and the online k-majority fit: the tree
+        # quantizes, the file's weights serve as idf, trained is True from
+        # frame 0 (no cold-start schedule applies).
+        self._voc = vocabulary
+        if vocabulary is not None:
+            n_words = vocabulary.n_words
+            self.words = None
+            self.trained = True
+        else:
+            self.words = rng.integers(
+                0, 256, size=(n_words, 32), dtype=np.uint8
+            )
+            self.trained = False  # True after the first k-majority fit
+        self.n_words = n_words
         self._hists: list[np.ndarray] = []
         self._df = np.zeros(n_words, np.float64)
         # raw descriptors per frame, kept packed for re-quantization
@@ -181,10 +299,13 @@ class BowRetriever:
 
     def _hist(self, des: np.ndarray | None) -> np.ndarray:
         if des is None or len(des) == 0:
-            return np.zeros(self.words.shape[0], np.float32)
-        dist = _hamming_dist(np.asarray(des, np.uint8), self.words)
-        assign = np.argmin(dist, axis=1)
-        h = np.bincount(assign, minlength=self.words.shape[0]).astype(np.float32)
+            return np.zeros(self.n_words, np.float32)
+        if self._voc is not None:
+            assign = self._voc.quantize(np.asarray(des, np.uint8))
+        else:
+            dist = _hamming_dist(np.asarray(des, np.uint8), self.words)
+            assign = np.argmin(dist, axis=1)
+        h = np.bincount(assign, minlength=self.n_words).astype(np.float32)
         n = np.linalg.norm(h)
         return h / n if n > 0 else h
 
@@ -193,6 +314,8 @@ class BowRetriever:
         Returns True if it retrained (and therefore rebuilt `_hists`/`_df`
         for EVERY frame currently in `_frame_des`, including one appended
         just before the call — the caller must not append again)."""
+        if self._voc is not None:  # pretrained vocabulary is fixed
+            return False
         if self._n_des_total < self._train_min:
             return False
         if self.trained and (
@@ -227,9 +350,15 @@ class BowRetriever:
         # keyframes) is MOST words — scores then ride on rare noise words
         # and an exact revisit can score ~0.35. log1p keeps common words
         # at reduced weight so the score scale is stable across db sizes.
-        idf = np.log1p(
-            (1 + len(self._hists)) / (1 + self._df)
-        ).astype(np.float32)
+        if self._voc is not None:
+            # pretrained vocabulary: the file's word weights ARE the idf
+            # (DBoW TF_IDF weighting, computed over its training corpus —
+            # stable from keyframe 0, unlike the db-derived df above)
+            idf = self._voc.word_weights
+        else:
+            idf = np.log1p(
+                (1 + len(self._hists)) / (1 + self._df)
+            ).astype(np.float32)
         db = np.stack(self._hists) * idf
         qv = h * idf
         qn = np.linalg.norm(qv)

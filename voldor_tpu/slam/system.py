@@ -363,8 +363,11 @@ class VOLDOR_SLAM:
 
     # ------------------------------------------------------------------
     def enable_loop_closure(self, voc_path=None, retriever=None):
-        """Vocabulary-free loop closure (see loop_closure.py). voc_path is
-        accepted for CLI compat and ignored with a note."""
+        """Loop closure (loop_closure.py). voc_path, when it points at a
+        DBoW2/3 text vocabulary (ORBvoc.txt[.gz], the reference's
+        enable_loop_closure artifact, voldor_slam.py:340-359), is loaded
+        into a TreeVocabulary-backed retriever; otherwise the built-in
+        online-learned vocabulary takes over."""
         try:
             import cv2
 
@@ -372,11 +375,19 @@ class VOLDOR_SLAM:
         except ImportError:
             print("Error: Loop closure not available. Needs cv2 for ORB features.")
             return
-        if voc_path:
-            print(
-                f"Note: ignoring vocabulary '{voc_path}' — using the built-in "
-                "vocabulary-free retriever."
-            )
+        if voc_path and retriever is None:
+            from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+
+            try:
+                voc = load_dbow_text_vocabulary(voc_path)
+                retriever = BowRetriever(vocabulary=voc)
+                print(f"Loaded vocabulary from {voc_path} "
+                      f"({voc.n_words} words, k={voc.k} L={voc.L})")
+            except (OSError, ValueError) as e:
+                print(
+                    f"Note: could not load vocabulary '{voc_path}' ({e}) — "
+                    "using the built-in online-learned vocabulary."
+                )
         # BowRetriever (TF-IDF over the ORB descriptors append_kf already
         # computes) measured 0.92 precision@1 vs the thumbnail backend's
         # 0.75 on the synthetic revisit harness (test_loop_closure.py).
@@ -880,9 +891,16 @@ class VOLDOR_SLAM:
                 vbf=self.basefocal * self.falign_vbf_factor,
                 crw=self.falign_crw,
             )
-            if self.falign_coarse_factor:
-                kwargs["coarse_stride"] = stride * self.falign_coarse_factor
-                kwargs["fine_iters"] = self.falign_fine_iters
+            def add_c2f(kw):
+                # coarse-to-fine pays off only on PHOTO solves (slow, 40-100
+                # lockstep iterations); geometry-only lanes converge in
+                # 10-25 and the coarse phase is pure overhead there
+                # (docs/PERF_FALIGN.json lc16_geo vs lc16_geo_c2f)
+                if self.falign_coarse_factor and "images" in kw:
+                    kw["coarse_stride"] = stride * self.falign_coarse_factor
+                    kw["fine_iters"] = self.falign_fine_iters
+                return kw
+
             if is_lc:
                 rets = falign_pairs(**kwargs)  # stage 1: geometry only
                 if self.use_image_info:
@@ -890,14 +908,14 @@ class VOLDOR_SLAM:
                     kwargs["poses_init"] = np.stack(
                         [r["poses_ret"] for r in rets]
                     )
-                    rets = falign_pairs(**kwargs)  # stage 2: photometric
+                    rets = falign_pairs(**add_c2f(kwargs))  # stage 2: photo
             else:
                 kwargs["poses_init"] = np.stack(poses_init).astype(
                     np.float32
                 ).reshape(Pb, 2, 6)
                 if self.use_image_info:
                     kwargs["images"] = shape_pairs(images)
-                rets = falign_pairs(**kwargs)
+                rets = falign_pairs(**add_c2f(kwargs))
 
             c_thr = (self.lc_link_consistency_thresh if is_lc
                      else self.mp_link_consistency_thresh)
