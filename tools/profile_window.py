@@ -133,8 +133,11 @@ def main():
                 depth_prior_poses=prior_poses,
                 depth_prior_pconfs=[pconf, pconf],
             )
+            jax.block_until_ready(engine.flows)
+            mark("upload", t0)
+            t0 = time.perf_counter()
             jax.block_until_ready(engine.depth)
-            mark("upload_init_fusion", t0)
+            mark("init_fusion_round", t0)
             t0 = time.perf_counter()
             engine.solve(defer_host=True)
             jax.block_until_ready(engine.poses6)
@@ -196,7 +199,8 @@ def main():
     out["no_collect"] = timed("dispatch_only (no scalar readback)",
                               collect=False)
 
-    rec = {k: round(v * 1e3, 1) for k, v in out.items()}
+    rec = {k: (v if isinstance(v, dict) else round(v * 1e3, 1))
+           for k, v in out.items()}
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "PERF_WINDOW.json")
     with open(path, "w") as f:

@@ -131,6 +131,10 @@ class VOLDOR_SLAM:
         # PGO write-back rebases the map under the dispatched priors
         self.vo_pipeline = True
         self._vo_pending = None
+        # flow upload-ahead: fid -> f16/f32 device handle, enqueued while
+        # the in-flight solve occupies the device (_flow_upload_ahead)
+        self._flow_dev_cache = {}
+        self._flow_transfer_f16 = None  # resolved lazily from the config
         self._map_version = 0
         self._use_loop_closure = False
         self._block_vo_signal = False
@@ -522,9 +526,19 @@ class VOLDOR_SLAM:
             covis_spec["spakf"] = (sdep, sconf, fs.scale, self.Twc_cur @ fs.Tcw)
 
         return dict(
-            flows=np.stack(
-                self.flows[self.fid_cur : self.fid_cur + self.voldor_winsize]
-            ),
+            # per-transition list: entries come from the upload-ahead cache
+            # (f16 device handles transferred while the PREVIOUS solve
+            # occupied the device) when present, host numpy otherwise —
+            # engine._stack_flows unifies them with identical numerics.
+            # ~90 ms of tunnel H2D per window otherwise sits between two
+            # device programs (docs/PERF_WINDOW.json stage decomposition).
+            flows=[
+                self._flow_dev_cache.get(f, self.flows[f])
+                for f in range(
+                    self.fid_cur,
+                    min(self.fid_cur + self.voldor_winsize, len(self.flows)),
+                )
+            ],
             disparity=self.disps[self.fid_cur] if self.mode == "stereo" else None,
             depth_priors=depth_priors or None,
             depth_prior_pconfs=depth_prior_pconfs or None,
@@ -535,6 +549,38 @@ class VOLDOR_SLAM:
             covis_spec=covis_spec,
             fid=int(self.fid_cur),
         )
+
+    def _flow_upload_ahead(self):
+        """Enqueue async H2D transfers for the flows the NEXT window may
+        need, right after a window was dispatched — the transfers ride the
+        tunnel while the in-flight solve occupies the compute core, taking
+        ~90 ms/window of upload off the device-idle critical path
+        (docs/PERF_WINDOW.json). Speculative by at most winsize-1 extra
+        maps at sequence end (~0.2 MB each); entries behind fid_cur are
+        dropped. Transfers round through the config transfer dtype so the
+        solve sees bit-identical flows either way (engine._stack_flows)."""
+        import jax.numpy as jnp
+
+        if self._flow_transfer_f16 is None:
+            from voldor_tpu.config import VoldorConfig
+
+            cfg = VoldorConfig(fx=1.0, fy=1.0, cx=0.0, cy=0.0)
+            cfg.read_config(
+                self.voldor_config + " " + self.voldor_user_config
+            )
+            self._flow_transfer_f16 = cfg.transfer_dtype == "float16"
+        for f in list(self._flow_dev_cache):
+            if f < self.fid_cur:
+                del self._flow_dev_cache[f]
+        # len(self.flows) (the loader's append-only feed) already bounds
+        # the sequence; no N_FRAMES term (it is NaN before the loader runs)
+        hi = min(self.fid_cur + 2 * self.voldor_winsize, len(self.flows))
+        for f in range(self.fid_cur + 1, hi):
+            if f not in self._flow_dev_cache:
+                flow = np.asarray(self.flows[f], np.float32)
+                if self._flow_transfer_f16:
+                    flow = flow.astype(np.float16)
+                self._flow_dev_cache[f] = jnp.asarray(flow)
 
     def _vo_dispatch(self, inputs):
         from voldor_tpu.vo.api import voldor_dispatch
@@ -597,6 +643,7 @@ class VOLDOR_SLAM:
                     self.metrics.log("vo_pipeline_flush", fid=int(self.fid_cur))
                 inputs = self._vo_window_inputs()
                 handle = self._vo_dispatch(inputs)
+                self._flow_upload_ahead()  # overlaps this window's solve
             vo_ret = handle.collect()
 
             if self.debug_dir:
@@ -712,6 +759,9 @@ class VOLDOR_SLAM:
                     handle=self._vo_dispatch(nxt),
                     inputs=nxt,
                 )
+                # flows for the window after the one just dispatched:
+                # transfers overlap the in-flight solve
+                self._flow_upload_ahead()
 
             # frames that stopped being prior keyframes drop their device
             # handles (host copies were enqueued at their solve; this

@@ -122,10 +122,21 @@ def voldor_dispatch(
                        basefocal=float(basefocal))
     cfg.read_config(config)
 
-    n_true = flows.shape[0]
-    if pad_window_to is not None and n_true < pad_window_to:
-        pad = np.zeros((pad_window_to - n_true,) + flows.shape[1:], np.float32)
-        flows = np.concatenate([np.asarray(flows, np.float32), pad])
+    if isinstance(flows, (list, tuple)):
+        # per-transition entries mixing host numpy and device flow handles
+        # (the SLAM driver's upload-ahead cache; engine._stack_flows)
+        flows = list(flows)
+        n_true = len(flows)
+        if pad_window_to is not None and n_true < pad_window_to:
+            shape = tuple(flows[0].shape)
+            flows += [np.zeros(shape, np.float32)] * (pad_window_to - n_true)
+    else:
+        n_true = flows.shape[0]
+        if pad_window_to is not None and n_true < pad_window_to:
+            pad = np.zeros(
+                (pad_window_to - n_true,) + flows.shape[1:], np.float32
+            )
+            flows = np.concatenate([np.asarray(flows, np.float32), pad])
 
     engine = VoldorEngine(cfg)
     engine.init(

@@ -323,6 +323,46 @@ def _stack_maps(lst, compress: str | None) -> jax.Array:
     return fn(scales, *args)
 
 
+def _stack_flows(lst, compress: bool) -> jax.Array:
+    """Stack per-transition (h, w, 2) flow maps that may mix host numpy and
+    device handles into one (N, h, w, 2) f32 device array.
+
+    The SLAM driver's upload-ahead cache (slam/system.py) transfers the
+    next window's flows as f16 device handles WHILE the current solve
+    occupies the device (~90 ms of tunnel H2D per window otherwise sits on
+    the critical path, docs/PERF_WINDOW.json stage decomposition). Host
+    entries upload through the compressed dtype as jit args; handles cast
+    in-graph — both routes round through f16 when compress is on, so the
+    solve sees bitwise-identical flows either way."""
+    has_dev = any(isinstance(x, jax.Array) for x in lst)
+    if not has_dev:
+        arr = np.stack([np.asarray(x, np.float32) for x in lst])
+        return _put_f16(arr) if compress else jnp.asarray(arr)
+
+    key = ("flows", len(lst), compress)
+    fn = _STACK_JIT_CACHE.get(key)
+    if fn is None:
+        def stack_fn(*xs):
+            outs = []
+            for x in xs:
+                if compress and x.dtype != jnp.float16:
+                    x = x.astype(jnp.float16)
+                outs.append(x.astype(jnp.float32))
+            return jnp.stack(outs)
+
+        fn = jax.jit(stack_fn)
+        _STACK_JIT_CACHE[key] = fn
+
+    args = []
+    for x in lst:
+        if isinstance(x, jax.Array):
+            args.append(x)
+        else:
+            x = np.asarray(x, np.float32)
+            args.append(x.astype(np.float16) if compress else x)
+    return fn(*args)
+
+
 def _resolve_use_pallas(cfg: VoldorConfig) -> bool:
     if cfg.depth_cost_mode not in ("tracked", "anchored"):
         return False
@@ -691,8 +731,20 @@ class VoldorEngine:
                 stacklevel=3,
             )
         self._seed_counter = 0
-        flows = np.ascontiguousarray(flows, np.float32)
-        if cfg.resize_factor != 1.0:
+        flows_list = None
+        if isinstance(flows, (list, tuple)):
+            # per-transition entries mixing host numpy and device handles
+            # (the SLAM driver's upload-ahead cache); see _stack_flows
+            if cfg.resize_factor != 1.0:
+                raise ValueError(
+                    "flow handle lists require resize_factor == 1 "
+                    "(resize is the SLAM layer's duty)"
+                )
+            flows_list = list(flows)
+            flows = None
+        else:
+            flows = np.ascontiguousarray(flows, np.float32)
+        if flows is not None and cfg.resize_factor != 1.0:
             n, h0, w0, _ = flows.shape
             h1, w1 = int(h0 * cfg.resize_factor), int(w0 * cfg.resize_factor)
             flows = np.asarray(
@@ -703,7 +755,11 @@ class VoldorEngine:
             cfg.cx *= cfg.resize_factor
             cfg.cy *= cfg.resize_factor
 
-        N, h, w = flows.shape[0], flows.shape[1], flows.shape[2]
+        if flows_list is not None:
+            N = len(flows_list)
+            h, w = flows_list[0].shape[0], flows_list[0].shape[1]
+        else:
+            N, h, w = flows.shape[0], flows.shape[1], flows.shape[2]
         self.n_flows = self.n_flows_init = N
         self.h, self.w = h, w
         self.iters_cur = 0
@@ -749,7 +805,12 @@ class VoldorEngine:
         self.n_depth_priors = D
 
         compress = cfg.transfer_dtype == "float16"
-        self.flows = _put_f16(flows) if compress else jnp.asarray(flows)
+        if flows_list is not None:
+            self.flows = _stack_flows(flows_list, compress)
+            f0 = flows_list[0]
+        else:
+            self.flows = _put_f16(flows) if compress else jnp.asarray(flows)
+            f0 = flows[0]
         # bootstrap (window 0 only) runs cv2's 5-point on the HOST: keep the
         # caller's host copy of flow 0 so it never pays a device->host
         # round trip (~30-70ms on the remote tunnel) re-fetching data that
@@ -757,8 +818,8 @@ class VoldorEngine:
         # transfer dtype so the kept copy is bit-identical to what the old
         # read-back path saw (bootstrap numerics must not depend on this
         # optimization).
-        if isinstance(flows, np.ndarray):
-            f0 = np.asarray(flows[0], np.float32)
+        if isinstance(f0, np.ndarray):
+            f0 = np.asarray(f0, np.float32)
             self._flow0_host = (
                 f0.astype(np.float16).astype(np.float32) if compress else f0
             )
