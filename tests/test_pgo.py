@@ -125,3 +125,35 @@ def test_pgo_poses_idx_remap():
     covar = np.tile((np.eye(7) * 1e-4).astype(np.float32), (5, 1, 1))
     out = pgo(gt, edges_idx, edges_pose, covar, poses_idx=ids)
     np.testing.assert_allclose(out[:, 3:6], gt[:, 3:6], atol=1e-3)
+
+
+def test_pgo_dense_matches_cg(rng):
+    """The dense-Cholesky LM (pgo_solve_dense_jit — one MXU factorization
+    per iteration, the D<=8192 fast path) must land on the same optimum as
+    the matrix-free LM+CG it replaces (docs/PERF_SLAM_PHASES.json
+    solve_pgo: 5.6 s warm -> the latency-bound CG loop)."""
+    from voldor_tpu.pgo.solver import (build_problem, pgo_solve_dense_jit,
+                                       pgo_solve_jit)
+
+    n = 30
+    gt = _circle_graph(n)
+    noisy = gt.copy()
+    noisy[1:, 3:6] += rng.normal(0, 0.05, (n - 1, 3)).cumsum(0)
+    noisy[1:, :3] += rng.normal(0, 0.01, (n - 1, 3)).cumsum(0)
+    edges_idx = np.asarray(
+        [[i, i + 1] for i in range(n - 1)] + [[0, n - 1]], np.int32
+    )
+    edges_pose = np.stack([_rel_pose7(gt, i, j) for i, j in edges_idx])
+    covar = np.tile((np.eye(7) * 1e-4).astype(np.float32),
+                    (len(edges_idx), 1, 1))
+
+    prob, _, _ = build_problem(noisy, None, edges_idx,
+                               edges_pose, covar, False)
+    dense, cost_d, _ = pgo_solve_dense_jit(prob)
+    cg, cost_c, _ = pgo_solve_jit(prob)
+    assert float(cost_d) <= float(cost_c) * 1.05 + 1e-6
+    np.testing.assert_allclose(np.asarray(dense.p), np.asarray(cg.p),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.abs(np.sum(np.asarray(dense.q)
+                                             * np.asarray(cg.q), -1)),
+                               1.0, atol=1e-5)

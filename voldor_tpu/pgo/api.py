@@ -11,7 +11,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from voldor_tpu.ops import lie
-from voldor_tpu.pgo.solver import build_problem, pgo_solve_jit
+from voldor_tpu.pgo.solver import (build_problem, pgo_solve_dense_jit,
+                                   pgo_solve_jit)
 
 
 def pgo(
@@ -39,7 +40,14 @@ def pgo(
     if info["n_edges"] == 0:
         return poses.copy()
 
-    solved, cost, iters = pgo_solve_jit(prob)
+    # dense normal-equation Cholesky up to 8192 tangent dims (~1170
+    # poses): one MXU factorization per LM iteration instead of 60
+    # latency-bound CG steps (docs/PERF_SLAM_PHASES.json solve_pgo);
+    # matrix-free CG beyond, where the dense H would not fit comfortably
+    if prob.p.shape[0] * 7 <= 8192:
+        solved, cost, iters = pgo_solve_dense_jit(prob)
+    else:
+        solved, cost, iters = pgo_solve_jit(prob)
     if debug:
         print(f"PGO cost {float(cost):.6f} after {int(iters)} LM iterations")
 

@@ -106,6 +106,83 @@ def _cost(prob: PgoProblem):
     return 0.5 * jnp.sum(r * r)
 
 
+@partial(jax.jit, static_argnames=("max_iters",))
+def pgo_solve_dense_jit(prob: PgoProblem, max_iters: int = 100):
+    """LM with a DENSE normal-equation Cholesky per iteration.
+
+    The matrix-free LM+CG path (pgo_solve_jit below) runs up to 100x60
+    tiny sequential while/fori steps; on the TPU each step pays small-op
+    latency and a 62-vertex solve measured 5.6 s warm
+    (docs/PERF_SLAM_PHASES.json solve_pgo). A pose graph of N vertices is
+    only D = 7N tangent dims — dense Cholesky on the MXU is microseconds
+    up to thousands of poses, so one LM iteration collapses to one
+    factorization. pgo() picks dense for D <= 8192 (the H materialization
+    is D^2 floats), CG beyond.
+    """
+    N = prob.p.shape[0]
+    D = N * 7
+
+    def dense_normal(prob):
+        r, J_e, J_b = _edge_res_and_jacs(prob)
+        g = jnp.zeros((N, 7))
+        g = g.at[prob.edges_idx[:, 1]].add(jnp.einsum("mij,mi->mj", J_e, r))
+        g = g.at[prob.edges_idx[:, 0]].add(jnp.einsum("mij,mi->mj", J_b, r))
+        ee = jnp.einsum("mia,mib->mab", J_e, J_e)
+        bb = jnp.einsum("mia,mib->mab", J_b, J_b)
+        be = jnp.einsum("mia,mib->mab", J_b, J_e)
+        H = jnp.zeros((N, 7, N, 7))
+        ib, ie = prob.edges_idx[:, 0], prob.edges_idx[:, 1]
+        H = H.at[ie, :, ie, :].add(ee)
+        H = H.at[ib, :, ib, :].add(bb)
+        H = H.at[ib, :, ie, :].add(be)
+        H = H.at[ie, :, ib, :].add(jnp.swapaxes(be, -1, -2))
+        return r, H.reshape(D, D), g.reshape(D)
+
+    def lm_body(state):
+        prob, lam, cost, it, done = state
+        r, H, g = dense_normal(prob)
+        diag = jnp.diag(H)
+        # fixed/padding dims have zero rows+cols and zero gradient: unit
+        # diagonal keeps the factorization SPD and their step exactly 0
+        damped = H + jnp.diag(
+            lam * jnp.clip(diag, 1e-6, 1e32) + (diag <= 0.0)
+        )
+        L = jnp.linalg.cholesky(damped)
+        ok = jnp.all(jnp.isfinite(L))
+        Lsafe = jnp.where(ok, L, jnp.eye(D))
+        step = jax.scipy.linalg.cho_solve((Lsafe, True), g).reshape(N, 7)
+        step = step * prob.free_mask
+
+        def apply_step(prob, step):
+            p, q, s = jax.vmap(_retract)(prob.p, prob.q, prob.s, -step)
+            return prob._replace(p=p, q=q, s=s)
+
+        trial = apply_step(prob, step)
+        new_cost = _cost(trial)
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
+        prob = prob._replace(
+            p=jnp.where(accept, trial.p, prob.p),
+            q=jnp.where(accept, trial.q, prob.q),
+            s=jnp.where(accept, trial.s, prob.s),
+        )
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        done = (accept & (rel < 1e-9)) | (lam > 1e10)
+        cost = jnp.where(accept, new_cost, cost)
+        return prob, lam, cost, it + 1, done
+
+    def lm_cond(state):
+        _, _, _, it, done = state
+        return (it < max_iters) & (~done)
+
+    cost0 = _cost(prob)
+    prob, _, cost, iters, _ = jax.lax.while_loop(
+        lm_cond, lm_body,
+        (prob, jnp.float32(1e-4), cost0, jnp.int32(0), jnp.bool_(False)),
+    )
+    return prob, cost, iters
+
+
 @partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
 def pgo_solve_jit(prob: PgoProblem, max_iters: int = 100, cg_iters: int = 60):
     N = prob.p.shape[0]
