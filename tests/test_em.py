@@ -311,3 +311,28 @@ def test_exact_local_prop_mode_converges():
     inner = np.s_[8:-8, 8:-8]
     rel = np.abs(np.asarray(depth)[inner] - depth0[inner]) / depth0[inner]
     assert np.median(rel) < 0.06
+
+
+def test_stack_flows_handle_and_host_paths_bit_identical():
+    """The upload-ahead cache path (device f16 handles) must produce
+    bit-identical flows to the plain host upload (_put_f16) — the VO
+    solve's numerics must not depend on which route a window's flows took
+    (vo/engine.py _stack_flows)."""
+    import jax.numpy as jnp
+
+    from voldor_tpu.vo.engine import _put_f16, _stack_flows
+
+    rng = np.random.default_rng(11)
+    flows = rng.normal(0, 7, (3, 24, 32, 2)).astype(np.float32)
+
+    host = _put_f16(flows)
+    handles = [jnp.asarray(flows[0].astype(np.float16)), flows[1], flows[2]]
+    mixed = _stack_flows(handles, compress=True)
+    np.testing.assert_array_equal(np.asarray(host), np.asarray(mixed))
+
+    # f32 transfer mode: handles arrive uncompressed, exact passthrough
+    host32 = _stack_flows([flows[0], flows[1], flows[2]], compress=False)
+    mixed32 = _stack_flows(
+        [jnp.asarray(flows[0]), flows[1], flows[2]], compress=False
+    )
+    np.testing.assert_array_equal(np.asarray(host32), np.asarray(mixed32))
