@@ -128,3 +128,31 @@ def test_gl_viewer_headless_gating():
     v._on_click(3, 0, 0, 0)  # scroll zoom in
     assert v.view_box < 30.0
     v._on_motion(5, 5)
+
+
+def test_pyvoldor_shims_import():
+    """Reference client code imports pyvoldor_{vo,full} and calls the three
+    entry points by name (pyvoldor_full.pyx:14-198). The shims must expose
+    exactly those callables."""
+    import pyvoldor_full
+    import pyvoldor_vo
+
+    assert callable(pyvoldor_full.voldor)
+    assert callable(pyvoldor_full.falign)
+    assert callable(pyvoldor_full.pgo)
+    assert callable(pyvoldor_vo.voldor)
+    # the full module's voldor IS the vo module's voldor
+    assert pyvoldor_full.voldor is pyvoldor_vo.voldor
+
+    # smoke: pgo on a 2-vertex chain returns (N, 7) unchanged-ish
+    poses = np.zeros((2, 7), np.float32)
+    poses[1, 3] = 1.0
+    edges_idx = np.asarray([[0, 1]], np.int32)
+    edges_pose = np.zeros((1, 7), np.float32)
+    edges_pose[0, 3] = 1.0
+    out = pyvoldor_full.pgo(poses, edges_idx, edges_pose)
+    assert out.shape == (2, 7)
+    # edge convention: begin-frame points map into end-frame coords
+    # (pgo/solver.py residual; vertex 0 gauge-fixed at the origin)
+    assert np.all(np.isfinite(out))
+    assert np.allclose(out[0], 0.0, atol=1e-5)
