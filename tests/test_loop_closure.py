@@ -321,3 +321,43 @@ def test_bow_retriever_with_pretrained_vocabulary(tmp_path, rng):
     _, qdes = orb.detectAndCompute(places[2], None)
     res = r.query_frame(places[2], qdes)
     assert res and res[0][0] == 2 and res[0][1] > 0.9
+
+
+def test_sparse_inverted_index_matches_dense_scores(tmp_path, rng):
+    """The pretrained-vocabulary path scores through sparse postings + an
+    inverted index (never materializing (n_frames, n_words) dense arrays);
+    its scores must equal the brute-force dense idf-weighted cosine on the
+    same histograms — checked on the tiny vocab with NON-uniform weights."""
+    from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+
+    path = tmp_path / "tinyvoc.txt"
+    words = _write_tiny_vocab(path)
+    voc = load_dbow_text_vocabulary(str(path))
+    r = BowRetriever(vocabulary=voc)
+
+    # frames as random descriptor bags biased to different words
+    frames = []
+    for s in range(5):
+        frng = np.random.default_rng(s)
+        base = words[frng.integers(4, size=12)]
+        noise = frng.integers(0, 2, size=base.shape).astype(np.uint8)
+        frames.append(base ^ noise)
+    for des in frames:
+        r.add_frame(None, des)
+
+    q = frames[3]
+    got = dict(r.query_frame(None, q, max_results=5))
+
+    # brute force: dense histograms, idf = word_weights, cosine
+    idf = voc.word_weights.astype(np.float64)
+
+    def dense_hist(des):
+        a = voc.quantize(des)
+        h = np.bincount(a, minlength=4).astype(np.float64)
+        return h / np.linalg.norm(h)
+
+    db = np.stack([dense_hist(d) for d in frames]) * idf
+    qv = dense_hist(q) * idf
+    want = db @ qv / (np.linalg.norm(qv) * np.linalg.norm(db, axis=1))
+    for i in range(5):
+        assert got[i] == pytest.approx(want[i], rel=1e-5)

@@ -181,3 +181,21 @@ def test_links_batch_matches_single():
         np.testing.assert_allclose(
             np.diag(b.pose_covar), np.diag(s.pose_covar), rtol=0.3, atol=1e-6
         )
+
+
+@pytest.mark.slow
+def test_slam_engine_resize_factor_fallback():
+    """A user config carrying --resize_factor must still run through the
+    pipelined SLAM driver: the flows entry falls back to a host stack (the
+    engine's array path resizes), instead of the device-handle list path
+    which hard-rejects resize (ADVICE r4)."""
+    poses, flows, depth0, Ts = _make_sequence(6)
+    slam = _make_slam(flows)
+    slam.voldor_user_config += " --resize_factor 0.5"
+
+    steps = 0
+    while slam.process_vo() and steps < 4:
+        steps += 1
+    assert len(slam.frames) >= 2
+    for f in slam.frames:
+        assert np.all(np.isfinite(f.Tcw))

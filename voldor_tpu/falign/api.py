@@ -203,7 +203,7 @@ def _pairs_solve(
             res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds,
             stride=stride,
         )
-        return res.params, res.covars, vis, cons, res.iters
+        return res.params, res.covars, vis, cons, res.iters, res.iters_coarse
 
     return jax.vmap(one)(params0_b, maps_b)
 
@@ -224,6 +224,7 @@ def falign_pairs(
     consistency_residual_bound: float = 1.0,
     coarse_stride: int = 0,
     fine_iters: int = 100,
+    coarse_iters: int = 100,
 ) -> list[dict]:
     """Batch of P INDEPENDENT two-frame alignment problems in one dispatch.
 
@@ -234,12 +235,14 @@ def falign_pairs(
 
     depths: (P, 2, h, w); weights/images optional same shape;
     poses_init: (P, 2, 6). Returns a list of P dicts, each with the same
-    keys/shapes as falign() on that 2-frame problem.
+    keys/shapes as falign() on that 2-frame problem, plus per-pair
+    ``iters`` (fine-grid LM iterations — the basis for per-iteration
+    metrics) and ``iters_coarse`` (coarse-grid iterations, 0 without c2f).
 
     coarse_stride > stride enables the coarse-to-fine LM schedule (see
-    lm_solve): up to 100 cheap iterations at coarse_stride, then at most
-    ``fine_iters`` at ``stride``. Scores/covariances always come from the
-    fine stride.
+    lm_solve): up to ``coarse_iters`` cheap iterations at coarse_stride,
+    then at most ``fine_iters`` at ``stride``. Scores/covariances always
+    come from the fine stride.
     """
     depths = np.ascontiguousarray(depths, np.float32)
     P, two, h, w = depths.shape
@@ -274,14 +277,14 @@ def falign_pairs(
         gauge_U[0, 15] = 1.0
 
     intr = (jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy))
-    params_b, covars_b, vis_b, cons_b, iters_b = _pairs_solve(
+    params_b, covars_b, vis_b, cons_b, iters_b, citers_b = _pairs_solve(
         jnp.asarray(params0), maps_b, intr, jnp.float32(vbf),
         jnp.float32(crw), jnp.asarray(dim_mask), jnp.asarray(gauge_U),
         jnp.float32(consistency_residual_bound),
         use_photo=use_photo, stride=int(stride), bounds=bounds,
         max_iters=int(fine_iters),
         coarse_stride=int(coarse_stride),
-        coarse_iters=100 if coarse_stride > stride else 0,
+        coarse_iters=int(coarse_iters) if coarse_stride > stride else 0,
     )
     params_b = np.asarray(params_b)
     covars_b = np.asarray(covars_b)
@@ -308,5 +311,6 @@ def falign_pairs(
             "visibility_mat": vm,
             "consistency_mat": cm,
             "iters": int(iters_b[i]),
+            "iters_coarse": int(citers_b[i]),
         })
     return out

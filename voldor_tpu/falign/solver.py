@@ -38,7 +38,8 @@ class FalignResult(NamedTuple):
     covars: jax.Array  # (N, 9, 9); zeros where unreliable
     covar_ok: jax.Array  # (N,) bool
     cost: jax.Array
-    iters: jax.Array
+    iters: jax.Array  # fine-grid LM iterations (per-iteration metrics basis)
+    iters_coarse: jax.Array  # coarse-grid iterations (0 without c2f)
 
 
 def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
@@ -255,10 +256,13 @@ def lm_solve(
             params0, jnp.int32(0), coarse_stride, coarse_iters
         )
         params, lam, cost, it, _, _ = run_phase(params_c, it_c, stride, max_iters)
+        it_fine = it - it_c
     else:
         params, lam, cost, it, _, _ = run_phase(
             params0, jnp.int32(0), stride, max_iters
         )
+        it_c = jnp.int32(0)
+        it_fine = it
 
     # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
     # exactly the information the reference's block-diagonal problem exposes
@@ -280,7 +284,8 @@ def lm_solve(
         Lsafe
     )
     covars = jnp.where(ok[:, None, None], covars, 0.0)
-    return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost, iters=it)
+    return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost,
+                        iters=it_fine, iters_coarse=it_c)
 
 
 def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo,

@@ -5,6 +5,13 @@ terminal pose/depth exports — which makes long KITTI runs unresumable. This
 module serializes the full map state (frames, edges, keyframe set, VO
 cursors) to one compressed npz and restores a VOLDOR_SLAM to continue a
 sequence after a crash or a planned split.
+
+Content contract: depth/conf maps persist only for frames that still hold
+them at save time. Under the pipelined driver that is KEYFRAMES ONLY —
+non-keyframes drop their maps in Frame.release_device without a host copy
+(the maps are never read again by any consumer). A reloaded map therefore
+has depth on keyframes and `has_depth=False` elsewhere, exactly like the
+live map it snapshotted.
 """
 
 from __future__ import annotations

@@ -74,6 +74,14 @@ class Frame:
             self.conf_dev = None
 
     def get_scaled_depth(self):
+        if self.depth is None:
+            # release_device materializes host maps only for keyframes; a
+            # non-keyframe that already released its device handles has no
+            # depth anymore by design (see release_device).
+            raise RuntimeError(
+                "Frame depth map was released (non-keyframe after "
+                "release_device); only keyframes retain depth maps"
+            )
         return self.depth * self.scale
 
 

@@ -200,55 +200,94 @@ class TreeVocabulary:
         return np.maximum(w, 0).astype(np.int64)
 
 
+def _build_tree(k: int, L: int, parents: np.ndarray, is_leaf: np.ndarray,
+                node_des_body: np.ndarray,
+                weights: np.ndarray) -> TreeVocabulary:
+    """Assemble a TreeVocabulary from per-node arrays (nodes in file order,
+    implicit root = node 0, node ids = 1..n). Shared by the text and binary
+    loaders; fully vectorized — an ORBvoc-scale tree (~10^6 nodes) builds in
+    well under a second on the single-core host."""
+    n_body = parents.shape[0]
+    n = n_body + 1
+    node_ids = np.arange(1, n, dtype=np.int64)
+    if np.any(parents < 0) or np.any(parents >= node_ids):
+        bad = int(np.argmax((parents < 0) | (parents >= node_ids))) + 1
+        raise ValueError(f"node {bad}: bad parent {int(parents[bad - 1])}")
+    # per-parent child slot in file order: stable groupby-cumcount
+    order = np.argsort(parents, kind="stable")
+    sp = parents[order]
+    first = np.concatenate([[0], np.flatnonzero(np.diff(sp)) + 1])
+    slot = np.arange(n_body, dtype=np.int64)
+    slot -= np.repeat(slot[first], np.diff(np.concatenate([first, [n_body]])))
+    if n_body and int(slot.max()) >= k:
+        p = int(sp[int(np.argmax(slot))])
+        raise ValueError(f"node {p}: more than k={k} children")
+    children = np.full((n, k), -1, np.int32)
+    children[sp, slot] = node_ids[order].astype(np.int32)
+    node_des = np.zeros((n, 32), np.uint8)
+    node_des[1:] = node_des_body
+    leaf_word = np.full(n, -1, np.int32)
+    leaf_ids = np.flatnonzero(is_leaf)
+    if leaf_ids.size == 0:
+        raise ValueError("vocabulary has no leaf words")
+    leaf_word[leaf_ids + 1] = np.arange(leaf_ids.size, dtype=np.int32)
+    return TreeVocabulary(k, L, children, node_des, leaf_word,
+                          weights[leaf_ids].astype(np.float64))
+
+
 def load_dbow_text_vocabulary(path: str) -> TreeVocabulary:
     """Parse a DBoW2/ORB-SLAM text vocabulary (`ORBvoc.txt`[.gz]).
 
+    Parsing is chunked `np.fromstring` over the raw text (every field is
+    numeric), not per-line Python int() — an ORBvoc-scale file (~10^6
+    lines) parses in seconds instead of minutes on the single-core host.
     Raises ValueError on anything that does not look like that format
     (callers fall back to the online-learned vocabulary)."""
     import gzip
+    import warnings
 
+    NF = 2 + 32 + 1  # parentId isLeaf b0..b31 weight
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rt") as f:
         header = f.readline().split()
         if len(header) != 4:
             raise ValueError(f"not a DBoW text vocabulary header: {header!r}")
         k, L = int(header[0]), int(header[1])
-        parents, leaves, descs, weights = [], [], [], []
-        for line in f:
-            parts = line.split()
-            if not parts:
+        chunks = []
+        tail = ""
+        while True:
+            block = f.read(1 << 24)
+            if not block:
+                break
+            block = tail + block
+            cut = block.rfind("\n")
+            if cut < 0:
+                tail = block
                 continue
-            if len(parts) != 2 + 32 + 1:
-                raise ValueError(
-                    f"bad vocabulary node line ({len(parts)} fields)"
-                )
-            parents.append(int(parts[0]))
-            leaves.append(int(parts[1]) != 0)
-            descs.append([int(b) for b in parts[2:34]])
-            weights.append(float(parts[34]))
-    n = len(parents) + 1  # + implicit root
-    children = np.full((n, k), -1, np.int32)
-    child_count = np.zeros(n, np.int32)
-    node_des = np.zeros((n, 32), np.uint8)
-    leaf_word = np.full(n, -1, np.int32)
-    word_weights = []
-    for i in range(len(parents)):
-        nid = i + 1
-        p = parents[i]
-        if not (0 <= p < nid):
-            raise ValueError(f"node {nid}: bad parent {p}")
-        if child_count[p] >= k:
-            raise ValueError(f"node {p}: more than k={k} children")
-        children[p, child_count[p]] = nid
-        child_count[p] += 1
-        node_des[nid] = np.asarray(descs[i], np.uint8)
-        if leaves[i]:
-            leaf_word[nid] = len(word_weights)
-            word_weights.append(weights[i])
-    if not word_weights:
-        raise ValueError("vocabulary has no leaf words")
-    return TreeVocabulary(k, L, children, node_des, leaf_word,
-                          np.asarray(word_weights, np.float64))
+            tail, body = block[cut + 1:], block[:cut]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                vals = np.fromstring(body, dtype=np.float64, sep=" ")
+            if vals.size:
+                chunks.append(vals)
+        if tail.strip():
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                chunks.append(np.fromstring(tail, dtype=np.float64, sep=" "))
+    flat = np.concatenate(chunks) if chunks else np.zeros(0)
+    if flat.size % NF != 0:
+        raise ValueError(
+            f"vocabulary body is not a multiple of {NF} fields "
+            f"({flat.size} values)"
+        )
+    rows = flat.reshape(-1, NF)
+    parents = rows[:, 0].astype(np.int64)
+    is_leaf = rows[:, 1] != 0
+    descs = rows[:, 2:34]
+    if np.any(descs < 0) or np.any(descs > 255):
+        raise ValueError("descriptor bytes out of [0, 255]")
+    return _build_tree(k, L, parents, is_leaf, descs.astype(np.uint8),
+                       rows[:, 34])
 
 
 class BowRetriever:
@@ -288,7 +327,17 @@ class BowRetriever:
             self.trained = False  # True after the first k-majority fit
         self.n_words = n_words
         self._hists: list[np.ndarray] = []
-        self._df = np.zeros(n_words, np.float64)
+        self._df = np.zeros(n_words if vocabulary is None else 0, np.float64)
+        # Pretrained-vocabulary store: a dense (n_words,) histogram per
+        # keyframe is ~4 MB at ORBvoc scale (10^6 words) and the dense
+        # np.stack(...) per query would transfer hundreds of MB — instead
+        # frames keep SPARSE (word_ids, idf-weighted vals) postings plus an
+        # inverted index word -> [(frame, weighted val)], the same
+        # accumulation scheme DBoW2 queries with. idf is fixed (the file's
+        # weights), so per-frame weighted norms cache at add time.
+        self._n_frames = 0
+        self._inv: dict[int, list[tuple[int, float]]] = {}
+        self._wnorms: list[float] = []
         # raw descriptors per frame, kept packed for re-quantization
         self._frame_des: list[np.ndarray | None] = []
         self._n_des_total = 0
@@ -300,14 +349,23 @@ class BowRetriever:
     def _hist(self, des: np.ndarray | None) -> np.ndarray:
         if des is None or len(des) == 0:
             return np.zeros(self.n_words, np.float32)
-        if self._voc is not None:
-            assign = self._voc.quantize(np.asarray(des, np.uint8))
-        else:
-            dist = _hamming_dist(np.asarray(des, np.uint8), self.words)
-            assign = np.argmin(dist, axis=1)
+        dist = _hamming_dist(np.asarray(des, np.uint8), self.words)
+        assign = np.argmin(dist, axis=1)
         h = np.bincount(assign, minlength=self.n_words).astype(np.float32)
         n = np.linalg.norm(h)
         return h / n if n > 0 else h
+
+    def _sparse_hist(self, des: np.ndarray | None):
+        """(word_ids int64[], idf-weighted vals float32[]) for the
+        pretrained-vocabulary path; vals are the file's-weight-scaled,
+        count-L2-normalized term frequencies."""
+        if des is None or len(des) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        assign = self._voc.quantize(np.asarray(des, np.uint8))
+        ids, counts = np.unique(assign, return_counts=True)
+        vals = counts.astype(np.float32)
+        vals /= np.linalg.norm(vals)
+        return ids, vals * self._voc.word_weights[ids].astype(np.float32)
 
     def _maybe_train(self) -> bool:
         """Fit/refit the vocabulary when enough descriptors accumulated.
@@ -342,6 +400,30 @@ class BowRetriever:
         return True
 
     def query(self, des: np.ndarray | None, max_results: int = 8):
+        if self._voc is not None:
+            # pretrained vocabulary: inverted-index accumulation (DBoW2's
+            # query scheme) — cost scales with the query's posting lists,
+            # not with n_words x n_frames. The file's word weights ARE the
+            # idf (DBoW TF_IDF weighting over its training corpus — stable
+            # from keyframe 0, unlike the db-derived df below).
+            if self._n_frames == 0:
+                return []
+            ids, qw = self._sparse_hist(des)
+            qn = float(np.linalg.norm(qw))
+            if qn <= 0:
+                return []
+            acc: dict[int, float] = {}
+            for wid, qv in zip(ids.tolist(), qw.tolist()):
+                for fidx, v in self._inv.get(wid, ()):
+                    acc[fidx] = acc.get(fidx, 0.0) + qv * v
+            if not acc:
+                return []
+            frames = np.fromiter(acc.keys(), np.int64, len(acc))
+            dots = np.fromiter(acc.values(), np.float64, len(acc))
+            norms = np.asarray([self._wnorms[f] for f in frames])
+            scores = dots / (qn * np.maximum(norms, 1e-9))
+            order = np.argsort(-scores)[:max_results]
+            return [(int(frames[i]), float(scores[i])) for i in order]
         h = self._hist(des)
         if not self._hists:
             return []
@@ -350,15 +432,9 @@ class BowRetriever:
         # keyframes) is MOST words — scores then ride on rare noise words
         # and an exact revisit can score ~0.35. log1p keeps common words
         # at reduced weight so the score scale is stable across db sizes.
-        if self._voc is not None:
-            # pretrained vocabulary: the file's word weights ARE the idf
-            # (DBoW TF_IDF weighting, computed over its training corpus —
-            # stable from keyframe 0, unlike the db-derived df above)
-            idf = self._voc.word_weights
-        else:
-            idf = np.log1p(
-                (1 + len(self._hists)) / (1 + self._df)
-            ).astype(np.float32)
+        idf = np.log1p(
+            (1 + len(self._hists)) / (1 + self._df)
+        ).astype(np.float32)
         db = np.stack(self._hists) * idf
         qv = h * idf
         qn = np.linalg.norm(qv)
@@ -374,6 +450,14 @@ class BowRetriever:
             self._n_des_total += des.shape[0]
         else:
             des = None
+        if self._voc is not None:
+            fidx = self._n_frames
+            ids, vals = self._sparse_hist(des)
+            for wid, v in zip(ids.tolist(), vals.tolist()):
+                self._inv.setdefault(wid, []).append((fidx, v))
+            self._wnorms.append(float(np.linalg.norm(vals)))
+            self._n_frames += 1
+            return fidx
         self._frame_des.append(des)
         if not self._maybe_train():
             # no retrain: quantize just this frame. (A retrain rebuilds the
@@ -397,4 +481,4 @@ class BowRetriever:
         return self.add(des)
 
     def __len__(self):
-        return len(self._hists)
+        return self._n_frames if self._voc is not None else len(self._hists)

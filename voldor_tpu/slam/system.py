@@ -135,6 +135,7 @@ class VOLDOR_SLAM:
         # the in-flight solve occupies the device (_flow_upload_ahead)
         self._flow_dev_cache = {}
         self._flow_transfer_f16 = None  # resolved lazily from the config
+        self._engine_resize = None  # resolved lazily from the config
         self._map_version = 0
         self._use_loop_closure = False
         self._block_vo_signal = False
@@ -532,13 +533,7 @@ class VOLDOR_SLAM:
             # engine._stack_flows unifies them with identical numerics.
             # ~90 ms of tunnel H2D per window otherwise sits between two
             # device programs (docs/PERF_WINDOW.json stage decomposition).
-            flows=[
-                self._flow_dev_cache.get(f, self.flows[f])
-                for f in range(
-                    self.fid_cur,
-                    min(self.fid_cur + self.voldor_winsize, len(self.flows)),
-                )
-            ],
+            flows=self._window_flows(),
             disparity=self.disps[self.fid_cur] if self.mode == "stereo" else None,
             depth_priors=depth_priors or None,
             depth_prior_pconfs=depth_prior_pconfs or None,
@@ -549,6 +544,33 @@ class VOLDOR_SLAM:
             covis_spec=covis_spec,
             fid=int(self.fid_cur),
         )
+
+    def _engine_resize_factor(self) -> float:
+        """resize_factor of the parsed engine config (user configs may carry
+        --resize_factor; the SLAM loaders usually resize at load time so
+        this is normally 1.0). Parsed once, cached."""
+        if self._engine_resize is None:
+            from voldor_tpu.config import VoldorConfig
+
+            cfg = VoldorConfig(fx=1.0, fy=1.0, cx=0.0, cy=0.0)
+            cfg.read_config(self.voldor_config + " " + self.voldor_user_config)
+            self._engine_resize = float(cfg.resize_factor)
+        return self._engine_resize
+
+    def _window_flows(self):
+        """Flows entry for the window dispatch. Default: a per-transition
+        list mixing upload-ahead device handles and host numpy (see
+        _vo_window_inputs). With an engine-side --resize_factor != 1 the
+        engine's list path cannot resize (device handles are already
+        uploaded at full size), so fall back to a plain host stack — the
+        engine's array path resizes it exactly as the reference does."""
+        lo = self.fid_cur
+        hi = min(self.fid_cur + self.voldor_winsize, len(self.flows))
+        if self._engine_resize_factor() != 1.0:
+            return np.stack(
+                [np.asarray(self.flows[f], np.float32) for f in range(lo, hi)]
+            )
+        return [self._flow_dev_cache.get(f, self.flows[f]) for f in range(lo, hi)]
 
     def _flow_upload_ahead(self):
         """Enqueue async H2D transfers for the flows the NEXT window may
@@ -561,6 +583,8 @@ class VOLDOR_SLAM:
         solve sees bit-identical flows either way (engine._stack_flows)."""
         import jax.numpy as jnp
 
+        if self._engine_resize_factor() != 1.0:
+            return  # host-stack path (see _window_flows); nothing to upload
         if self._flow_transfer_f16 is None:
             from voldor_tpu.config import VoldorConfig
 
