@@ -101,8 +101,31 @@ def _edge_res_and_jacs(prob: PgoProblem):
     )
 
 
+def _edge_residuals(prob: PgoProblem):
+    """Residuals only — no Jacobians. The LM trial evaluation calls this
+    every iteration; going through _edge_res_and_jacs there computed (and
+    discarded) 14 jacfwd columns per edge."""
+
+    def one(i_b, i_e, mp, mq, ms, si, mask):
+        return _edge_residual(
+            prob.p[i_e], prob.q[i_e], prob.s[i_e],
+            prob.p[i_b], prob.q[i_b], prob.s[i_b],
+            mp, mq, ms, si,
+        ) * mask
+
+    return jax.vmap(one)(
+        prob.edges_idx[:, 0],
+        prob.edges_idx[:, 1],
+        prob.meas_p,
+        prob.meas_q,
+        prob.meas_s,
+        prob.sqrt_info,
+        prob.edge_mask,
+    )
+
+
 def _cost(prob: PgoProblem):
-    r, _, _ = _edge_res_and_jacs(prob)
+    r = _edge_residuals(prob)
     return 0.5 * jnp.sum(r * r)
 
 
@@ -123,19 +146,36 @@ def pgo_solve_dense_jit(prob: PgoProblem, max_iters: int = 100):
     D = N * 7
 
     def dense_normal(prob):
+        """JtJ/gradient assembly as one-hot MATMULS, not scatters: XLA
+        scatter-adds of (M, 7, 7) blocks into a (N, 7, N, 7) operand
+        serialize on TPU, while S^T @ V contractions ride the MXU. The
+        cross-term einsum is written with the 49 block entries as a batch
+        axis so XLA contracts (N, M) @ (M, N) per entry instead of
+        materializing an (M, N, 7, 7) intermediate."""
         r, J_e, J_b = _edge_res_and_jacs(prob)
-        g = jnp.zeros((N, 7))
-        g = g.at[prob.edges_idx[:, 1]].add(jnp.einsum("mij,mi->mj", J_e, r))
-        g = g.at[prob.edges_idx[:, 0]].add(jnp.einsum("mij,mi->mj", J_b, r))
-        ee = jnp.einsum("mia,mib->mab", J_e, J_e)
+        ib, ie = prob.edges_idx[:, 0], prob.edges_idx[:, 1]
+        S_b = jax.nn.one_hot(ib, N, dtype=r.dtype)  # (M, N)
+        S_e = jax.nn.one_hot(ie, N, dtype=r.dtype)
+
+        g = S_e.T @ jnp.einsum("mij,mi->mj", J_e, r) + S_b.T @ jnp.einsum(
+            "mij,mi->mj", J_b, r
+        )  # (N, 7)
+
+        ee = jnp.einsum("mia,mib->mab", J_e, J_e)  # (M, 7, 7)
         bb = jnp.einsum("mia,mib->mab", J_b, J_b)
         be = jnp.einsum("mia,mib->mab", J_b, J_e)
-        H = jnp.zeros((N, 7, N, 7))
-        ib, ie = prob.edges_idx[:, 0], prob.edges_idx[:, 1]
-        H = H.at[ie, :, ie, :].add(ee)
-        H = H.at[ib, :, ib, :].add(bb)
-        H = H.at[ib, :, ie, :].add(be)
-        H = H.at[ie, :, ib, :].add(jnp.swapaxes(be, -1, -2))
+        # endpoint-diagonal blocks: (N, M) @ (M, 49) matmuls
+        diag_blk = (S_e.T @ ee.reshape(-1, 49) + S_b.T @ bb.reshape(-1, 49)
+                    ).reshape(N, 7, 7)
+        # cross blocks: Hx[k, a, b] = sum_m be[m, k] S_b[m, a] S_e[m, b]
+        Hx = jnp.einsum(
+            "mk,ma,mb->kab", be.reshape(-1, 49), S_b, S_e
+        )  # (49, N, N) — XLA contracts as 49 (N,M)@(M,N) matmuls
+        H = jnp.zeros((N, 7, N, 7), r.dtype)
+        ar = jnp.arange(N)
+        H = H.at[ar, :, ar, :].add(diag_blk)
+        Hx = Hx.reshape(7, 7, N, N).transpose(2, 0, 3, 1)  # (N, 7, N, 7)
+        H = H + Hx + jnp.swapaxes(jnp.swapaxes(Hx, 0, 2), 1, 3)
         return r, H.reshape(D, D), g.reshape(D)
 
     def lm_body(state):
