@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from voldor_tpu.ops import lie
-from voldor_tpu.ops.image import bilinear_sample, sobel_like_gradient
+from voldor_tpu.ops.image import bilinear_sample_packed
 
 
 class FrameMaps(NamedTuple):
@@ -37,12 +37,28 @@ class FrameMaps(NamedTuple):
     crashed the worker; padding either dim fixes it). logical_h/logical_w
     are returned separately by precompute_maps and passed as static args
     (they must be compile-time constants, not traced pytree leaves).
+
+    The interpolated fields live CHANNEL-PACKED in one (N, hp, wp, 5)
+    array — [depth, nx, ny, nz, image] — so the residual's tar-side
+    sampling is ONE (2, 2, 5)-slice gather per query instead of three
+    per-channel gathers (see ops.image.bilinear_sample_packed). weights is
+    separate: it is only ever read on the ref side at stride (no gather).
     """
 
-    depths: jax.Array  # (N, hp, wp)
+    packed: jax.Array  # (N, hp, wp, 5): depth, normal xyz, image
     weights: jax.Array  # (N, hp, wp)
-    images: jax.Array  # (N, hp, wp); zeros when photometric term unused
-    normals: jax.Array  # (N, hp, wp, 3)
+
+    @property
+    def depths(self):
+        return self.packed[..., 0]
+
+    @property
+    def images(self):
+        return self.packed[..., 4]
+
+    @property
+    def normals(self):
+        return self.packed[..., 1:4]
 
 
 def precompute_maps(depths, weights, images, fx, fy, cx, cy):
@@ -91,10 +107,10 @@ def precompute_maps(depths, weights, images, fx, fy, cx, cy):
         images = jnp.zeros_like(depths)
     if weights is None:
         weights = jnp.ones_like(depths)
-    return (
-        FrameMaps(depths=depths, weights=weights, images=images, normals=normals),
-        (logical_h, logical_w),
+    packed = jnp.concatenate(
+        [depths[..., None], normals, images[..., None]], axis=-1
     )
+    return FrameMaps(packed=packed, weights=weights), (logical_h, logical_w)
 
 
 def pair_residual_map(
@@ -152,8 +168,11 @@ def pair_residual_map(
     p2t_y = (fy * p3t[..., 1]) / safe_zt + cy
     valid = (p2t_x >= 0) & (p2t_x < w) & (p2t_y >= 0) & (p2t_y < h) & (zt >= 1.0)
 
-    p2t_d = bilinear_sample(maps.depths[tar_fid], p2t_x, p2t_y) * jnp.exp(d_scale_tar)
-    nvec = bilinear_sample(maps.normals[tar_fid], p2t_x, p2t_y)
+    # ONE (2,2,5)-slice gather fetches depth+normal+image of the tar map at
+    # every query (tools/microbench_gather.py: 4x over per-channel gathers).
+    tar_samp = bilinear_sample_packed(maps.packed[tar_fid], p2t_x, p2t_y)
+    p2t_d = tar_samp[..., 0] * jnp.exp(d_scale_tar)
+    nvec = tar_samp[..., 1:4]
 
     p3t_ray = p3t * (p2t_d / safe_zt)[..., None]
     diff_geo = nvec * jnp.sum(nvec * (p3t_ray - p3t), axis=-1, keepdims=True)
@@ -170,7 +189,7 @@ def pair_residual_map(
 
     if use_photo:
         c_ref = maps.images[ref_fid][:h:stride, :w:stride] + c_offset_ref
-        c_tar = (bilinear_sample(maps.images[tar_fid], p2t_x, p2t_y) + c_offset_tar) * (
+        c_tar = (tar_samp[..., 4] + c_offset_tar) * (
             jnp.exp(c_scale_ref) / jnp.exp(c_scale_tar)
         )
         residual = residual + crw * 0.5 * (c_ref - c_tar) ** 2
