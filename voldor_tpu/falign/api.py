@@ -7,8 +7,6 @@ py_export.cpp:4-89).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,42 +168,95 @@ def falign(
     }
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "use_photo", "stride", "bounds", "max_iters", "coarse_stride",
-        "coarse_iters",
-    ),
-)
-def _pairs_solve(
+def _pairs_solve_compact(
     params0_b, maps_b, intr, vbf, crw, dim_mask, gauge_U, bound,
     *, use_photo, stride, bounds, max_iters=100, coarse_stride=0,
-    coarse_iters=0,
+    coarse_iters=0, chunk_coarse=16, chunk_fine=8,
 ):
-    """vmapped independent 2-frame LM + scores over a (P, 2, ...) batch.
+    """Independent 2-frame LMs over a (P, 2, ...) batch with per-lane
+    convergence COMPACTION.
 
-    One small compile per (P-bucket, stride, photo) — the joint N-frame
-    path compiles a dense (N*9)^2 problem whose XLA build takes minutes at
-    32 frames, while this is the 2-frame program with a batch axis. JAX's
-    batched while_loop freezes converged lanes (select on the per-lane
-    cond), so each pair solves EXACTLY as an independent lm_solve call."""
-    pairs2 = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
-    bicon2 = jnp.asarray([True, True])
+    A vmapped while_loop runs every lane's body until the SLOWEST lane
+    converges — converged lanes freeze via select but still pay full
+    compute (docs/PERF_FALIGN.json: per-lane 16..91 iterations in one
+    16-batch, ~1.9x lockstep waste). Here each c2f phase dispatches in
+    iteration CHUNKS (lm_chunk_pairs carries resumable per-lane LM state);
+    after each chunk the host reads the tiny done flags and re-dispatches
+    only the survivors, dropping to the {4} bucket when few remain. Chunk
+    size is traced, so the executable lattice stays
+    {bucket} x {phase stride} x {photo} — matching the reference's
+    per-problem Ceres convergence (align_frame.cpp:142-159: each pair
+    pays exactly its own iterations).
 
-    def one(p0, maps):
-        res = lm_solve(
-            p0, pairs2, bicon2, maps, intr, vbf, crw, dim_mask, gauge_U,
-            use_photo=use_photo, stride=stride, bounds=bounds,
-            n_frames=2, max_iters=max_iters, coarse_stride=coarse_stride,
-            coarse_iters=coarse_iters,
-        )
-        vis, cons = align_scores(
-            res.params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds,
-            stride=stride,
-        )
-        return res.params, res.covars, vis, cons, res.iters, res.iters_coarse
+    Returns (params (P,2,9), covars, vis, cons, iters (P,), iters_coarse
+    (P,)) — per-lane TRUE iteration counts."""
+    from voldor_tpu.falign.solver import (PairLmState, lm_chunk_pairs,
+                                          pairs_finalize)
 
-    return jax.vmap(one)(params0_b, maps_b)
+    P = params0_b.shape[0]
+    params = np.asarray(params0_b, np.float32).copy()
+    lam = np.zeros(P, np.float32)
+    cost = np.zeros(P, np.float32)
+    w2 = np.zeros(P, np.float32)
+    it = np.zeros(P, np.int32)
+
+    phases = []
+    if coarse_stride > stride and coarse_iters > 0:
+        phases.append((coarse_stride, coarse_iters, chunk_coarse))
+    phases.append((stride, max_iters, chunk_fine))
+
+    phase_iters = []
+    for stride_p, budget, chunk in phases:
+        done = np.zeros(P, bool)
+        fresh = np.ones(P, bool)
+        it[:] = 0
+        lam[:] = 1e-3
+        w2[:] = 0.0
+        live = np.arange(P)
+        used = 0
+        while live.size and used < budget:
+            step_iters = min(chunk, budget - used)
+            Pb = 4 if live.size <= 4 else 16
+            idx = np.concatenate(
+                [live, np.full(Pb - live.size, live[0])]
+            ).astype(np.int32)
+            pad = np.zeros(Pb, bool)
+            pad[live.size:] = True
+            st = PairLmState(
+                params=jnp.asarray(params[idx]),
+                lam=jnp.asarray(lam[idx]),
+                cost=jnp.asarray(cost[idx]),
+                it=jnp.asarray(it[idx]),
+                done=jnp.asarray(done[idx] | pad),
+                w2=jnp.asarray(w2[idx]),
+                fresh=jnp.asarray(fresh[idx] & ~pad),
+            )
+            idx_dev = jnp.asarray(idx)
+            maps_live = jax.tree_util.tree_map(lambda a: a[idx_dev], maps_b)
+            out = lm_chunk_pairs(
+                st, maps_live, intr, vbf, crw, dim_mask, gauge_U,
+                jnp.int32(step_iters), use_photo=use_photo, stride=stride_p,
+                bounds=bounds,
+            )
+            k = live.size
+            params[live] = np.asarray(out.params)[:k]
+            lam[live] = np.asarray(out.lam)[:k]
+            cost[live] = np.asarray(out.cost)[:k]
+            it[live] = np.asarray(out.it)[:k]
+            done[live] = np.asarray(out.done)[:k]
+            w2[live] = np.asarray(out.w2)[:k]
+            fresh[live] = False
+            used += step_iters
+            live = live[~done[live]]
+        phase_iters.append(it.copy())
+
+    covars, ok, vis, cons = pairs_finalize(
+        jnp.asarray(params), maps_b, intr, vbf, crw, dim_mask, bound,
+        use_photo=use_photo, stride=stride, bounds=bounds,
+    )
+    iters_fine = phase_iters[-1]
+    iters_coarse = phase_iters[0] if len(phases) == 2 else np.zeros(P, np.int32)
+    return (jnp.asarray(params), covars, vis, cons, iters_fine, iters_coarse)
 
 
 def falign_pairs(
@@ -277,7 +328,7 @@ def falign_pairs(
         gauge_U[0, 15] = 1.0
 
     intr = (jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy))
-    params_b, covars_b, vis_b, cons_b, iters_b, citers_b = _pairs_solve(
+    params_b, covars_b, vis_b, cons_b, iters_b, citers_b = _pairs_solve_compact(
         jnp.asarray(params0), maps_b, intr, jnp.float32(vbf),
         jnp.float32(crw), jnp.asarray(dim_mask), jnp.asarray(gauge_U),
         jnp.float32(consistency_residual_bound),

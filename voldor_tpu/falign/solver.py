@@ -42,6 +42,19 @@ class FalignResult(NamedTuple):
     iters_coarse: jax.Array  # coarse-grid iterations (0 without c2f)
 
 
+class PairLmState(NamedTuple):
+    """Resumable per-lane LM state for the chunked batched-pair solver
+    (lm_chunk_pairs). One entry per lane of a (P, 2, ...) pair batch."""
+
+    params: jax.Array  # (P, 2, 9)
+    lam: jax.Array  # (P,) LM damping
+    cost: jax.Array  # (P,) raw cost at params on the CURRENT phase grid
+    it: jax.Array  # (P,) int32 iterations done in the current phase
+    done: jax.Array  # (P,) bool: lane converged (phase-local)
+    w2: jax.Array  # (P,) gauge weight (0 = derive from next Hessian)
+    fresh: jax.Array  # (P,) bool: cost not yet evaluated on this phase grid
+
+
 def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
     """Residuals (P, hs, ws) and Jacobians w.r.t. ref and tar params
     ((P, hs, ws, 9) each).
@@ -74,6 +87,89 @@ def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, b
     mask_r = dim_mask[pairs[:, 0]][:, None, None, :]
     mask_t = dim_mask[pairs[:, 1]][:, None, None, :]
     return res, Jr * mask_r, Jt * mask_t
+
+
+def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
+                  dim_mask, gauge_U, n_frames):
+    """Build (body, cost_fn) for one damped-LM iteration on the
+    stride_p residual grid over `pairs`.
+
+    State: (params, lam, cost, it, done, w2). `cost` is the RAW cost at
+    params on this grid (gauge term added only for step comparisons);
+    w2 == 0 means "derive the gauge weight from this iteration's Hessian"
+    (a positive w2 is then carried unchanged), which makes the state
+    resumable across dispatches (lm_chunk_pairs) — with no scale dims in
+    gauge_U the weight is identically zero and the term vanishes."""
+    N = n_frames
+    D = N * 9
+    fx, fy, cx, cy = intr
+    inactive = (1.0 - dim_mask).reshape(-1)
+
+    def cost_fn(params):
+        def one(pr, pt, ref, tar):
+            r, _ = pair_residual_map(
+                pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
+                stride_p, bounds,
+            )
+            return jnp.sum(r * r)
+
+        return 0.5 * jnp.sum(
+            jax.vmap(one)(
+                params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0],
+                pairs[:, 1],
+            )
+        )
+
+    n_scale = jnp.maximum(jnp.sum(gauge_U), 1.0)
+    u_any = jnp.sum(gauge_U, axis=0)  # (D,) union of scale dims
+
+    def gauge_w2(H):
+        return jnp.sum(jnp.diag(H) * u_any) / n_scale
+
+    def gauge_cost(w2, params):
+        s_sums = gauge_U @ params.reshape(-1)
+        return 0.5 * w2 * jnp.sum(s_sums * s_sums)
+
+    def body(state):
+        params, lam, cost, it, done, w2 = state
+        res, Jr, Jt = _pair_res_and_jacs(
+            params, pairs, maps, intr, vbf, crw, use_photo, stride_p,
+            bounds, dim_mask,
+        )
+        H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+        w2 = jnp.where(w2 > 0, w2, gauge_w2(H))
+        s_sums = gauge_U @ params.reshape(-1)
+        H = H + w2 * (gauge_U.T @ gauge_U)
+        g = g + w2 * (gauge_U.T @ s_sums)
+        diag = jnp.maximum(jnp.diag(H), 1e-8)
+        damped = H + jnp.diag(lam * diag + inactive)
+
+        L = jnp.linalg.cholesky(damped)
+        ok = jnp.all(jnp.isfinite(L))
+        Lsafe = jnp.where(ok, L, jnp.eye(D))
+        step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
+        trial = params - step.reshape(N, 9) * dim_mask
+        new_cost = cost_fn(trial) + gauge_cost(w2, trial)
+        cur_cost = cost + gauge_cost(w2, params)
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
+        lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
+        rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
+        # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5
+        # is enough for the downstream consistency/visibility gates and
+        # PGO edges; lanes spent 80-100 lockstep iterations shaving
+        # <0.1% cost at 1e-6, docs/PERF_FALIGN.json), negligible
+        # parameter step, or damping blow-up. In the vmapped batch every
+        # live lane pays for the slowest one, so early exit here is a
+        # direct e2e win.
+        step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
+        done = ((accept & (rel_drop < 1e-5))
+                | (accept & (step_inf < 1e-4))
+                | (lam > 1e9))
+        cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
+        params = jnp.where(accept, trial, params)
+        return params, lam, cost, it + 1, done, w2
+
+    return body, cost_fn
 
 
 def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
@@ -144,28 +240,6 @@ def lm_solve(
     del biconnected
     N = n_frames or params0.shape[0]
     D = N * 9
-    fx, fy, cx, cy = intr
-
-    def make_cost_of(stride_p):
-        def cost_of(params):
-            def one(pr, pt, ref, tar):
-                r, v = pair_residual_map(
-                    pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
-                    stride_p, bounds,
-                )
-                return jnp.sum(r * r)
-
-            return 0.5 * jnp.sum(
-                jax.vmap(one)(
-                    params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
-                )
-            )
-
-        return cost_of
-
-    cost_of = make_cost_of(stride)
-
-    inactive = (1.0 - dim_mask).reshape(-1)
 
     # Scale-gauge regularizer (7-dof only): the disparity-space residuals
     # shrink as a whole constellation inflates (every inverse depth -> 0),
@@ -180,65 +254,22 @@ def lm_solve(
     # the runaway modes. Relative scales (what the SLAM edges consume) are
     # unaffected. Per-component (not global): independent pairs batched
     # into one solve each have their OWN runaway mode, and a single global
-    # sum would let one component inflate while another deflates.
+    # sum would let one component inflate while another deflates. (The
+    # gauge math lives in _make_lm_step.)
     if gauge_U is None:
         gauge_U = jnp.zeros((0, D), jnp.float32)
-    n_scale = jnp.maximum(jnp.sum(gauge_U), 1.0)
-    u_any = jnp.sum(gauge_U, axis=0)  # (D,) union of scale dims
-
-    def gauge_w2(H):
-        return jnp.sum(jnp.diag(H) * u_any) / n_scale
-
-    def gauge_cost(w2, params):
-        s_sums = gauge_U @ params.reshape(-1)
-        return 0.5 * w2 * jnp.sum(s_sums * s_sums)
 
     def run_phase(params_in, it0, stride_p, iters_budget):
         """One damped-LM while_loop over the stride_p residual grid.
 
         it0 (traced) is the global iteration counter at phase entry; the
         gauge weight w2 re-derives from the first Hessian of THIS phase
-        (its typical curvature scales with the phase's pixel count)."""
-        cost_p = make_cost_of(stride_p)
-
-        def body(state):
-            params, lam, cost, it, done, w2 = state
-            res, Jr, Jt = _pair_res_and_jacs(
-                params, pairs, maps, intr, vbf, crw, use_photo, stride_p,
-                bounds, dim_mask,
-            )
-            H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
-            w2 = jnp.where(it == it0, gauge_w2(H), w2)
-            s_sums = gauge_U @ params.reshape(-1)
-            H = H + w2 * (gauge_U.T @ gauge_U)
-            g = g + w2 * (gauge_U.T @ s_sums)
-            diag = jnp.maximum(jnp.diag(H), 1e-8)
-            damped = H + jnp.diag(lam * diag + inactive)
-
-            L = jnp.linalg.cholesky(damped)
-            ok = jnp.all(jnp.isfinite(L))
-            Lsafe = jnp.where(ok, L, jnp.eye(D))
-            step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
-            trial = params - step.reshape(N, 9) * dim_mask
-            new_cost = cost_p(trial) + gauge_cost(w2, trial)
-            cur_cost = cost + gauge_cost(w2, params)
-            accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
-            lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
-            rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
-            # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5
-            # is enough for the downstream consistency/visibility gates and
-            # PGO edges; lanes spent 80-100 lockstep iterations shaving
-            # <0.1% cost at 1e-6, docs/PERF_FALIGN.json), negligible
-            # parameter step, or damping blow-up. In the vmapped batch every
-            # live lane pays for the slowest one, so early exit here is a
-            # direct e2e win.
-            step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
-            done = ((accept & (rel_drop < 1e-5))
-                    | (accept & (step_inf < 1e-4))
-                    | (lam > 1e9))
-            cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
-            params = jnp.where(accept, trial, params)
-            return params, lam, cost, it + 1, done, w2
+        (its typical curvature scales with the phase's pixel count —
+        _make_lm_step derives it whenever the carried w2 is zero)."""
+        body, cost_p = _make_lm_step(
+            pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
+            dim_mask, gauge_U, N,
+        )
 
         def cond(state):
             _, _, _, it, done, _ = state
@@ -264,9 +295,19 @@ def lm_solve(
         it_c = jnp.int32(0)
         it_fine = it
 
-    # Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
-    # exactly the information the reference's block-diagonal problem exposes
-    # to ceres::Covariance (align_frame.cpp:166-195).
+    covars, ok = _pair_covariances(
+        params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds,
+        dim_mask, N,
+    )
+    return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost,
+                        iters=it_fine, iters_coarse=it_c)
+
+
+def _pair_covariances(params, pairs, maps, intr, vbf, crw, use_photo, stride,
+                      bounds, dim_mask, N):
+    """Covariance at the optimum: per-frame blocks, ref-side Jacobians only —
+    exactly the information the reference's block-diagonal problem exposes
+    to ceres::Covariance (align_frame.cpp:166-195)."""
     res, Jr, _ = _pair_res_and_jacs(
         params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask
     )
@@ -284,8 +325,67 @@ def lm_solve(
         Lsafe
     )
     covars = jnp.where(ok[:, None, None], covars, 0.0)
-    return FalignResult(params=params, covars=covars, covar_ok=ok, cost=cost,
-                        iters=it_fine, iters_coarse=it_c)
+    return covars, ok
+
+
+_PAIRS2 = ((0, 1), (1, 0))
+
+
+@partial(jax.jit, static_argnames=("use_photo", "stride", "bounds"))
+def lm_chunk_pairs(state: PairLmState, maps_b, intr, vbf, crw, dim_mask,
+                   gauge_U, chunk_iters, *, use_photo, stride, bounds):
+    """Advance every lane of a (P, 2, ...) pair batch by up to
+    ``chunk_iters`` LM iterations on the ``stride`` grid; already-done
+    lanes cost only a frozen select. chunk_iters is TRACED (one executable
+    serves every chunk size), so the host compaction driver
+    (falign/api.py:falign_pairs) can re-dispatch the unconverged lanes of
+    a 16-bucket into a 4-bucket instead of dragging all lanes to the
+    slowest lane's iteration count — per-lane results are identical to a
+    single uninterrupted lm_solve because the per-lane state is exactly
+    the LM loop state."""
+    pairs2 = jnp.asarray(_PAIRS2, jnp.int32)
+
+    def one(st: PairLmState, maps):
+        body, cost_p = _make_lm_step(
+            pairs2, maps, intr, vbf, crw, use_photo, stride, bounds,
+            dim_mask, gauge_U, 2,
+        )
+        cost0 = jnp.where(st.fresh, cost_p(st.params), st.cost)
+        it_end = st.it + chunk_iters
+
+        def cond(s):
+            _, _, _, it, done, _ = s
+            return (it < it_end) & (~done)
+
+        params, lam, cost, it, done, w2 = jax.lax.while_loop(
+            cond, body, (st.params, st.lam, cost0, st.it, st.done, st.w2)
+        )
+        return PairLmState(params=params, lam=lam, cost=cost, it=it,
+                           done=done, w2=w2, fresh=jnp.bool_(False))
+
+    return jax.vmap(one)(state, maps_b)
+
+
+@partial(jax.jit, static_argnames=("use_photo", "stride", "bounds"))
+def pairs_finalize(params_b, maps_b, intr, vbf, crw, dim_mask, bound, *,
+                   use_photo, stride, bounds):
+    """Covariances + (visibility, consistency) scores for a (P, 2, ...)
+    pair batch at the fine stride — the tail of _pairs_solve, split out so
+    the chunked compaction driver runs it once after all lanes converge."""
+    pairs2 = jnp.asarray(_PAIRS2, jnp.int32)
+
+    def one(params, maps):
+        covars, ok = _pair_covariances(
+            params, pairs2, maps, intr, vbf, crw, use_photo, stride, bounds,
+            dim_mask, 2,
+        )
+        vis, cons = align_scores(
+            params, pairs2, maps, intr, vbf, crw, use_photo, bound, bounds,
+            stride=stride,
+        )
+        return covars, ok, vis, cons
+
+    return jax.vmap(one)(params_b, maps_b)
 
 
 def align_scores(params, pairs, maps: FrameMaps, intr, vbf, crw, use_photo,

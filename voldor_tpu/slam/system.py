@@ -1107,9 +1107,27 @@ class VOLDOR_SLAM:
         print("Mapping thread started")
         n_kfs_registered = 0
         next_pgo_kfid = self.pgo_refine_kf_interval
-        NF = int(self.N_FRAMES)
-        link_mask = np.zeros((NF, NF), bool)
-        priority_mat = np.zeros((NF, NF), np.float32)
+        # link_mask/priority_mat are indexed by KEYFRAME ordinals, so size
+        # them by keyframe capacity with geometric growth — an
+        # (N_FRAMES, N_FRAMES) allocation would waste ~165 MB at KITTI-00
+        # scale (4,541 frames vs ~300 keyframes) and required N_FRAMES to
+        # be known before the mapping thread starts.
+        kf_cap = 256
+        link_mask = np.zeros((kf_cap, kf_cap), bool)
+        priority_mat = np.zeros((kf_cap, kf_cap), np.float32)
+
+        def _ensure_capacity(n):
+            nonlocal kf_cap, link_mask, priority_mat
+            if n <= kf_cap:
+                return
+            while kf_cap < n:
+                kf_cap *= 2
+            lm = np.zeros((kf_cap, kf_cap), bool)
+            pm = np.zeros((kf_cap, kf_cap), np.float32)
+            lm[: link_mask.shape[0], : link_mask.shape[1]] = link_mask
+            pm[: priority_mat.shape[0], : priority_mat.shape[1]] = priority_mat
+            link_mask, priority_mat = lm, pm
+
         lc_pairs = set()
         new_local_link_flag = False
         new_lc_link_flag = False
@@ -1170,6 +1188,7 @@ class VOLDOR_SLAM:
             if n_kfs_cur == 0:
                 time.sleep(0.01)
                 continue
+            _ensure_capacity(n_kfs_cur)
 
             if n_kfs_registered == n_kfs_cur:
                 if n_lc_seen < len(self.lc_candidates):
