@@ -84,6 +84,7 @@ def run(deps, wgts, imgs, P, photo, stride, reps=3, tag="", coarse=0,
     if coarse:
         rec["coarse_stride"] = coarse
         rec["fine_iters"] = fine_iters
+        rec["iters_coarse"] = [r["iters_coarse"] for r in rets]
     if poses is not None:
         # max relative-pose translation deviation vs a reference run —
         # sanity that a schedule variant lands on the same optimum
@@ -115,10 +116,21 @@ def main():
     # against the single-phase lc16_photo/local16 rows above
     recs.append(run(deps, wgts, imgs, 16, True, 3, tag="lc16_photo_c2f",
                     coarse=6, fine_iters=25, poses=ref_lc)[1])
-    recs.append(run(deps, wgts, imgs, 16, True, 4, tag="local16_photo_s4_c2f",
-                    coarse=8, fine_iters=25)[1])
+    ref_local, rec = run(deps, wgts, imgs, 16, True, 4,
+                         tag="local16_photo_s4_c2f", coarse=8, fine_iters=25)
+    recs.append(rec)
     recs.append(run(deps, wgts, imgs, 16, False, 3, tag="lc16_geo_c2f",
                     coarse=6, fine_iters=25)[1])
+    # local-link schedule variants: the s4_c2f fine phase saturates its
+    # 25-iteration cap on ~half the lanes (coarse stride 8 hands off too
+    # far from the stride-4 optimum) — try a closer coarse grid and a
+    # tighter fine budget, deviation-checked against the saturated run
+    recs.append(run(deps, wgts, imgs, 16, True, 4, tag="local16_s4_c6",
+                    coarse=6, fine_iters=25, poses=ref_local)[1])
+    recs.append(run(deps, wgts, imgs, 16, True, 4, tag="local16_s4_c6_f12",
+                    coarse=6, fine_iters=12, poses=ref_local)[1])
+    recs.append(run(deps, wgts, imgs, 16, True, 3, tag="lc16_c2f_f12",
+                    coarse=6, fine_iters=12, poses=ref_lc)[1])
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "PERF_FALIGN.json")
     with open(path, "w") as f:

@@ -158,13 +158,16 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
         # is enough for the downstream consistency/visibility gates and
         # PGO edges; lanes spent 80-100 lockstep iterations shaving
         # <0.1% cost at 1e-6, docs/PERF_FALIGN.json), negligible
-        # parameter step, or damping blow-up. In the vmapped batch every
-        # live lane pays for the slowest one, so early exit here is a
-        # direct e2e win.
+        # parameter step — on accept OR reject (a REJECTED tiny step means
+        # no descent exists at this scale; without it a converged lane
+        # burns ~27 iterations climbing lam from 1e-7 to 1e9 in pure
+        # rejects — the long per-lane tails of PERF_FALIGN.json), or
+        # damping blow-up (1e6: ~13 more rejects past any accept scale).
         step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
         done = ((accept & (rel_drop < 1e-5))
                 | (accept & (step_inf < 1e-4))
-                | (lam > 1e9))
+                | ((~accept) & (step_inf < 3e-5))
+                | (lam > 1e6))
         cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
         params = jnp.where(accept, trial, params)
         return params, lam, cost, it + 1, done, w2

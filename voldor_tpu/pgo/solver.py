@@ -347,6 +347,17 @@ def _pad_to_bucket(n, base=16):
     return m
 
 
+# A growing SLAM graph walks through (Np, Mp) bucket combos — (16,16),
+# (32,64), (64,128), ... — and EVERY new combo is a fresh 10-20 s XLA
+# compile mid-run (docs/PERF_SLAM_PHASES.json: an 11 s "warm" solve_pgo
+# that was a new edge bucket). Padding floors keep a typical realtime
+# window (and the 61-frame bench run end-to-end) inside ONE executable;
+# the dense assembly/factorization cost of the extra padding is
+# microseconds at these sizes.
+_POSE_BUCKET_BASE = 64
+_EDGE_BUCKET_BASE = 128
+
+
 def build_problem(
     poses7: np.ndarray,
     poses_idx: np.ndarray | None,
@@ -385,8 +396,8 @@ def build_problem(
         sqrt_infos.append(L)
 
     M = len(kept)
-    Np = _pad_to_bucket(n)
-    Mp = _pad_to_bucket(max(M, 1))
+    Np = _pad_to_bucket(n, _POSE_BUCKET_BASE)
+    Mp = _pad_to_bucket(max(M, 1), _EDGE_BUCKET_BASE)
 
     p = np.zeros((Np, 3), np.float32)
     q = np.zeros((Np, 4), np.float32)

@@ -68,13 +68,27 @@ class VOLDOR_SLAM:
         self.falign_lc_image_gblur_width = 9
         # Coarse-to-fine LM schedule for the batched link solves (TPU knob,
         # no reference analog): the bulk of LM iterations run at
-        # coarse_factor x the link stride (1/coarse_factor^2 residual
-        # pixels), then <= fine_iters polish at the link stride. The batched
-        # LM runs lockstep to its slowest lane, so shifting the slow lanes'
-        # iterations onto the cheap grid cuts the dominant mapping cost
-        # ~2x at equal gates/ATE (docs/PERF_FALIGN.json). 0 disables.
-        self.falign_coarse_factor = 2
-        self.falign_fine_iters = 25
+        # falign_coarse_stride (fewer residual pixels), then <= fine_iters
+        # polish at the link stride. Shifting the slow lanes' iterations
+        # onto the cheap grid cuts the dominant mapping cost ~2x at equal
+        # gates/ATE. Stride 6 for BOTH link kinds (a stride-8 coarse for
+        # local links handed off too far from the stride-4 optimum — the
+        # fine phase saturated its budget on half the lanes); fine_iters
+        # 12: measured pose deviation is identical at 12 vs 25
+        # (docs/PERF_FALIGN.json local16_s4_c6_f12 / lc16_c2f_f12).
+        # 0 disables c2f.
+        self.falign_coarse_stride = 6
+        self.falign_fine_iters = 12
+        # Pre-compile the falign/PGO executables on a background thread
+        # while the first VO windows run (see _aot_warmup_worker). The CUDA
+        # reference pays its compiles at build time; this is the runtime
+        # analog for a cold XLA process.
+        self.aot_warmup = True
+        # Local-link coalescing (see mapping_thread._process_pending):
+        # dispatch pending local links once this many accumulate, or after
+        # this many seconds, whichever first (PGO/end-of-run flush anyway).
+        self.mp_link_batch_min = 12
+        self.mp_link_max_delay_s = 3.0
 
         # loop closure (voldor_slam.py:115-119). Score threshold: the
         # reference's 0.04 is on DBoW3's L1 score scale; BowRetriever scores
@@ -403,11 +417,26 @@ class VOLDOR_SLAM:
 
     # ------------------------------------------------------------------
     def solve_pgo(self, fid_start=0):
-        """(voldor_slam.py:361-414)"""
+        """(voldor_slam.py:361-414)
+
+        Unlike the reference (which holds the map write lock across the
+        whole Ceres solve), the graph is SNAPSHOT under a read lock, the
+        solve runs with no lock held (a big/first-bucket solve otherwise
+        stalls the VO thread for seconds — docs/PERF_SLAM_PHASES.json),
+        and the result is applied under a short write lock. Frames the VO
+        thread appended during the solve chain off the last snapshot frame
+        by pure VO edges, so they (and Twc_cur) are rebased by that
+        frame's world-frame correction — the same exact-chain-composition
+        argument as pgo/reduce.py. _map_version still invalidates
+        in-flight VO priors built from the old map.
+
+        The snapshot itself takes the WRITE lock: the VO thread appends
+        frames under the read lock (it is the only appender), so only the
+        write lock excludes it — but the hold is now a memcpy, not a
+        solve."""
         from voldor_tpu.pgo.api import pgo as py_pgo
 
         with self._map_lock.w_locked():
-            assert len(self.frames) == self.fid_cur
             n_frames_total = len(self.frames) + 1  # +1 for Twc_cur
             n_edges_total = len(self.edges)
             n_frames = n_frames_total - fid_start
@@ -437,21 +466,37 @@ class VOLDOR_SLAM:
             if n_edges == 0:
                 return
 
-            poses_ret = py_pgo(
-                poses=poses,
-                poses_idx=poses_idx,
-                edges_idx=edges_idx[:n_edges],
-                edges_pose=edges_pose[:n_edges],
-                edges_covar=edges_covar[:n_edges],
-                optimize_7dof=self.mode == "mono",
-            )
+        t_solve = time.perf_counter()
+        poses_ret = py_pgo(
+            poses=poses,
+            poses_idx=poses_idx,
+            edges_idx=edges_idx[:n_edges],
+            edges_pose=edges_pose[:n_edges],
+            edges_covar=edges_covar[:n_edges],
+            optimize_7dof=self.mode == "mono",
+        )
+        t_solve = time.perf_counter() - t_solve
+
+        with self._map_lock.w_locked():
+            last = n_frames_total - 2  # last REAL frame in the snapshot
+            # world-frame correction of the last snapshot frame, computed
+            # against its CURRENT pose (process_vo may have refined it):
+            # appended frames are relative to the current map
+            Tcw_last_new = T6_to_T44(poses_ret[n_frames - 2, :6]).astype(np.float32)
+            D = Tcw_last_new @ np.linalg.inv(self.frames[last].Tcw)
+            ds = float(np.exp(poses_ret[n_frames - 2, 6])) / self.frames[last].scale
 
             for i in range(n_frames - 1):
                 self.frames[i + fid_start].Tcw = T6_to_T44(poses_ret[i, :6]).astype(np.float32)
                 self.frames[i + fid_start].scale = float(np.exp(poses_ret[i, 6]))
-            self.Twc_cur = np.linalg.inv(T6_to_T44(poses_ret[n_frames - 1, :6])).astype(
-                np.float32
-            )
+            for i in range(n_frames_total - 1, len(self.frames)):
+                self.frames[i].Tcw = (D @ self.frames[i].Tcw).astype(np.float32)
+                self.frames[i].scale = float(self.frames[i].scale * ds)
+            # rebase the live camera by the same correction (relative pose
+            # to the last frame preserved exactly)
+            self.Twc_cur = np.linalg.inv(
+                D @ np.linalg.inv(self.Twc_cur)
+            ).astype(np.float32)
             # the rebased map invalidates any in-flight VO window whose
             # priors were built from the old poses/scales
             self._map_version += 1
@@ -460,7 +505,7 @@ class VOLDOR_SLAM:
             )
             self.metrics.log(
                 "pgo", fid_start=int(fid_start), n_frames=int(n_frames),
-                n_edges=int(n_edges),
+                n_edges=int(n_edges), solve_s=round(t_solve, 4),
             )
 
     # ------------------------------------------------------------------
@@ -970,8 +1015,10 @@ class VOLDOR_SLAM:
                 # lockstep iterations); geometry-only lanes converge in
                 # 10-25 and the coarse phase is pure overhead there
                 # (docs/PERF_FALIGN.json lc16_geo vs lc16_geo_c2f)
-                if self.falign_coarse_factor and "images" in kw:
-                    kw["coarse_stride"] = stride * self.falign_coarse_factor
+                if (self.falign_coarse_stride
+                        and self.falign_coarse_stride > stride
+                        and "images" in kw):
+                    kw["coarse_stride"] = self.falign_coarse_stride
                     kw["fine_iters"] = self.falign_fine_iters
                 return kw
 
@@ -1102,9 +1149,70 @@ class VOLDOR_SLAM:
         print("VO thread ended.")
         print(f"{len(self.kf_ids)} keyframes registered.")
 
+    def _aot_warmup_worker(self):
+        """Pre-compile the falign/PGO executable lattice on inert inputs of
+        the real map shape while the first VO windows run. The early
+        windows only need the VO solve fn; without this, each falign/PGO
+        executable compiles serially at its FIRST real use mid-run, with
+        the VO thread stalled behind the mapping scheduler
+        (docs/PERF_SLAM_PHASES.json cold pass: 60-90 s per falign variant,
+        block_vo_stall_s ~90). Device time per warmup call is milliseconds
+        (flat depth, residuals converge in one chunk); only the compiles
+        matter. Concurrent first-use of the same program is safe (jit
+        dedups in-flight compiles)."""
+        try:
+            from voldor_tpu.falign.api import falign_pairs
+            from voldor_tpu.pgo.api import pgo
+
+            h, w = int(self.h), int(self.w)
+            base = dict(
+                fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+                optimize_7dof=self.mode == "mono",
+                vbf=self.basefocal * self.falign_vbf_factor,
+                crw=self.falign_crw,
+            )
+            s_local = self.falign_local_link_stride
+            s_lc = self.falign_lc_link_stride
+            cs = self.falign_coarse_stride
+
+            def c2f(kw, stride):
+                if cs and cs > stride and "images" in kw:
+                    kw["coarse_stride"] = cs
+                    kw["fine_iters"] = self.falign_fine_iters
+                return kw
+
+            for P in (4, 16):
+                d = np.full((P, 2, h, w), 10.0, np.float32)
+                wt = np.ones_like(d)
+                im = np.zeros_like(d)
+                if self.use_image_info:
+                    falign_pairs(**c2f(dict(depths=d, weights=wt, images=im,
+                                            stride=s_local, **base), s_local))
+                    falign_pairs(**c2f(dict(depths=d, weights=wt, images=im,
+                                            stride=s_lc, **base), s_lc))
+                else:
+                    falign_pairs(depths=d, weights=wt, stride=s_local, **base)
+                # the LC geometry stage (photo off) runs either way
+                falign_pairs(depths=d, weights=wt, stride=s_lc, **base)
+
+            # PGO dense executable at the (pose, edge) bucket floor
+            poses = np.zeros((2, 7), np.float32)
+            poses[1, 5] = 1.0
+            epose = np.zeros((1, 7), np.float32)
+            epose[0, 5] = -1.0
+            pgo(poses, np.asarray([[0, 1]], np.int32), epose,
+                np.tile(np.eye(7, dtype=np.float32), (1, 1, 1)),
+                optimize_7dof=self.mode == "mono")
+            print("AOT warmup done")
+        except Exception as e:  # noqa: BLE001 — warmup must never kill a run
+            print(f"AOT warmup error (non-fatal): {e!r}")
+
     def mapping_thread(self):
         """(voldor_slam.py:729-828)"""
         print("Mapping thread started")
+        if self.aot_warmup:
+            threading.Thread(target=self._aot_warmup_worker,
+                             daemon=True).start()
         n_kfs_registered = 0
         next_pgo_kfid = self.pgo_refine_kf_interval
         # link_mask/priority_mat are indexed by KEYFRAME ordinals, so size
@@ -1159,29 +1267,49 @@ class VOLDOR_SLAM:
             n_lc_seen = len(self.lc_candidates)
             return updated
 
-        def _process_pending(thresh):
-            # Batch EVERY pending above-threshold cell into (at most) one
-            # local-links falign dispatch + one lc-links dispatch, instead
-            # of the reference's one-problem-per-10ms-tick host loop
-            # (voldor_slam.py:748-760). Returns True if anything ran.
+        # Local links COALESCE across registrations before dispatching:
+        # the batched falign's cost is dominated by the lockstep coarse
+        # phase, so a 1-pair dispatch costs ~1.8 s while a full 16-batch
+        # costs ~0.17 s/pair (docs/PERF_FALIGN.json) — dribbling each
+        # registration's 1-5 pending cells immediately (the reference's
+        # one-problem-per-tick host loop, voldor_slam.py:748-760, where
+        # each GPU problem is ~30 ms) is the wrong shape for this
+        # hardware. Pending locals flush when the batch fills, when a PGO
+        # needs their edges, when they age out, or at end of run. LC links
+        # stay immediate (rare, high-value).
+        pending_local: list = []
+        pending_since = [0.0]
+
+        def _process_pending(thresh, flush=False):
             nonlocal new_local_link_flag, new_lc_link_flag
             Iy, Ix = np.where((priority_mat > thresh) & ~link_mask)
-            if Iy.size == 0:
-                return False
-            local_pairs, lc_pair_list = [], []
+            lc_pair_list = []
             for y, x in zip(Iy, Ix):
                 pair = (self.kf_ids[y], self.kf_ids[x])
                 if (int(y), int(x)) in lc_pairs:
                     lc_pair_list.append(pair)
-                    new_lc_link_flag = True
                 else:
-                    local_pairs.append(pair)
-                    new_local_link_flag = True
+                    if not pending_local:
+                        pending_since[0] = time.perf_counter()
+                    pending_local.append(pair)
                 link_mask[y, x] = True
                 priority_mat[y, x] = 0
-            self.establish_links_batch(local_pairs, kind="local")
-            self.establish_links_batch(lc_pair_list, kind="lc")
-            return True
+            ran = False
+            if lc_pair_list:
+                self.establish_links_batch(lc_pair_list, kind="lc")
+                new_lc_link_flag = True
+                ran = True
+            aged = (pending_local
+                    and time.perf_counter() - pending_since[0]
+                    > self.mp_link_max_delay_s)
+            if pending_local and (
+                flush or aged or len(pending_local) >= self.mp_link_batch_min
+            ):
+                self.establish_links_batch(pending_local, kind="local")
+                pending_local.clear()
+                new_local_link_flag = True
+                ran = True
+            return ran
 
         while not self.end_of_vo or n_kfs_registered < len(self.kf_ids):
             n_kfs_cur = len(self.kf_ids)
@@ -1193,9 +1321,18 @@ class VOLDOR_SLAM:
             if n_kfs_registered == n_kfs_cur:
                 if n_lc_seen < len(self.lc_candidates):
                     _merge_lc_candidates(n_kfs_cur)
-                if not _process_pending(self.mp_no_link_thresh):
+                if not _process_pending(self.mp_no_link_thresh,
+                                        flush=self.end_of_vo):
                     time.sleep(0.01)
             else:
+                # VO blocks only for the registration BOOKKEEPING (priority
+                # rebuild + LC merge — microseconds); the falign link
+                # solves and the PGO run with VO live. solve_pgo snapshots
+                # and rebases internally, and _map_version invalidates any
+                # in-flight window either way. (Previously this block
+                # spanned the solves too: ~28 s of a 49 s warm run was the
+                # VO thread waiting on _block_vo_signal,
+                # docs/PERF_SLAM_PHASES.json.)
                 self._block_vo_signal = True
                 priority_mat[...] = 0
 
@@ -1217,9 +1354,13 @@ class VOLDOR_SLAM:
                 _merge_lc_candidates(n_kfs_cur)
 
                 priority_mat[link_mask] = 0
-                _process_pending(self.mp_realtime_link_thresh)
+                n_kfs_registered = n_kfs_cur
+                self._block_vo_signal = False
 
-                if n_kfs_cur >= next_pgo_kfid and (new_local_link_flag or new_lc_link_flag):
+                pgo_due = n_kfs_cur >= next_pgo_kfid
+                _process_pending(self.mp_realtime_link_thresh, flush=pgo_due)
+
+                if pgo_due and (new_local_link_flag or new_lc_link_flag):
                     if new_lc_link_flag:
                         self.solve_pgo()
                     else:
@@ -1231,16 +1372,13 @@ class VOLDOR_SLAM:
                     new_lc_link_flag = False
                     next_pgo_kfid = n_kfs_cur + self.pgo_refine_kf_interval
 
-                n_kfs_registered = n_kfs_cur
-                self._block_vo_signal = False
-
         # Drain the remaining above-threshold links before the final global
         # PGO (the reference exits the loop as soon as VO ends and silently
         # drops still-pending cells — including a loop closure discovered by
         # the last keyframe, voldor_slam.py:743/825-828).
         n_kfs_cur = len(self.kf_ids)
         _merge_lc_candidates(n_kfs_cur)
-        _process_pending(self.mp_no_link_thresh)
+        _process_pending(self.mp_no_link_thresh, flush=True)
 
         self.solve_pgo()
         self._viewer_signal_map_changed = True
