@@ -310,7 +310,10 @@ def _make_slam_e2e(flows, images_bgri, images_grayf):
     slam.images_bgri = list(images_bgri)
     slam.images_grayf = list(images_grayf)
     slam.image_loader_pt = len(images_bgri)
-    slam.enable_loop_closure()
+    # VOLDOR_BENCH_VOCAB=path loads a pretrained DBoW text vocabulary
+    # (e.g. data/vocab_k10L4.txt.gz) instead of the built-in online one —
+    # used to validate the real-vocab LC path end-to-end (docs/LC_PR.json)
+    slam.enable_loop_closure(os.environ.get("VOLDOR_BENCH_VOCAB") or None)
     # short sequence: relax the (20-keyframe) revisit distance gate (the
     # return leg re-covers outbound views, so covisibility stepping yields
     # few return-leg keyframes)

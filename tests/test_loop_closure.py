@@ -1,5 +1,7 @@
 """Loop-closure retrieval backends + g2o pose-graph IO."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -361,3 +363,32 @@ def test_sparse_inverted_index_matches_dense_scores(tmp_path, rng):
     want = db @ qv / (np.linalg.norm(qv) * np.linalg.norm(db, axis=1))
     for i in range(5):
         assert got[i] == pytest.approx(want[i], rel=1e-5)
+
+
+def test_real_scale_vocabulary_loads_and_sets_threshold():
+    """The committed real-scale vocabulary (tools/build_vocab.py: k=10,
+    L=4, ~10^4 words from 108k real ORB descriptors) loads through
+    enable_loop_closure, which must switch the score threshold to the
+    pretrained operating point — docs/LC_PR.json bow_pretrained shows the
+    0.55 online-vocab threshold collapses recall to 0.17/0.10 on this
+    score scale (reference artifact role: voldor_slam.py:340-359)."""
+    pytest.importorskip("cv2")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "data", "vocab_k10L4.txt.gz")
+    if not os.path.exists(path):
+        pytest.skip("vocabulary artifact not present")
+
+    from voldor_tpu.slam.system import VOLDOR_SLAM
+
+    s = VOLDOR_SLAM(mode="mono")
+    s.enable_loop_closure(voc_path=path)
+    voc = s.retriever._voc
+    assert voc is not None and voc.k == 10 and voc.n_words >= 5000
+    assert s.lc_bow_score_thresh == s.lc_bow_score_thresh_pretrained == 0.35
+    # real-scale quantization stays sane: random descriptors spread over
+    # many distinct words (a degenerate tree would funnel them into few)
+    rng = np.random.default_rng(3)
+    des = rng.integers(0, 256, size=(512, 32), dtype=np.uint8)
+    ids = voc.quantize(des)
+    assert ids.min() >= 0 and ids.max() < voc.n_words
+    assert len(np.unique(ids)) > 100

@@ -30,7 +30,20 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from voldor_tpu.slam.loop_closure import BowRetriever, ThumbnailRetriever  # noqa: E402
+from voldor_tpu.slam.loop_closure import (  # noqa: E402
+    BowRetriever,
+    ThumbnailRetriever,
+    load_dbow_text_vocabulary,
+)
+
+# Real-scale pretrained vocabulary (VERDICT r4 item 6): k=10, L=4,
+# ~10^4 words built from 108k real ORB descriptors by tools/build_vocab.py
+# in the DBoW2/ORB-SLAM text format — the same artifact role as the
+# reference's ORBvoc loaded through pyDBoW3 (voldor_slam.py:340-359).
+VOCAB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "vocab_k10L4.txt.gz",
+)
 
 H, W = 192, 256
 N_PLACES = 30
@@ -147,12 +160,21 @@ def eval_placeset(places, cv2, rng):
         # cold-start ablation: random prototypes, never trains
         "bow_random": BowRetriever(n_words=256, train_min_descriptors=10**9),
     }
+    if os.path.exists(VOCAB_PATH):
+        # pretrained real-scale tree vocabulary (file weights = idf,
+        # sparse inverted-index scoring — the reference's operating mode)
+        backends["bow_pretrained"] = BowRetriever(
+            vocabulary=load_dbow_text_vocabulary(VOCAB_PATH)
+        )
     for img, des in zip(places[:N_PLACES], descs[:N_PLACES]):
         for r in backends.values():
             r.add_frame(img.astype(np.float32), des)
 
     results = {}
     for name, r in backends.items():
+        import time as _time
+
+        t_q0 = _time.perf_counter()
         top1 = []
         # positive queries: perturbed revisits of every mapped place
         for gt_id in range(N_PLACES):
@@ -177,6 +199,9 @@ def eval_placeset(places, cv2, rng):
         scores_neg = [s for gt, p, s in top1 if gt is None]
         results[name] = {
             "trained": bool(getattr(r, "trained", False)),
+            "query_ms_mean": round(
+                1e3 * (_time.perf_counter() - t_q0) / len(top1), 3
+            ),
             "curve": curve,
             "at_default_thresh": at_default,
             "at_cold_thresh": at_cold,
@@ -229,6 +254,16 @@ def main():
                             "gain 0.85-1.2, bias ±15, gamma 0.85-1.2, noise σ4",
         },
         "default_thresh": DEFAULT_THRESH,
+        "real_vocab": (
+            {
+                "path": os.path.relpath(VOCAB_PATH, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "built_by": "tools/build_vocab.py (k=10, L=4, 108k real ORB descriptors)",
+                "loaded": os.path.exists(VOCAB_PATH),
+                "note": "backends.bow_pretrained / real_photo_backends.bow_pretrained "
+                        "are this vocabulary through load_dbow_text_vocabulary + "
+                        "the sparse inverted-index query path",
+            }
+        ),
         "backends": results,
         "real_photo_backends": results_real,
         "cold_start": cold,

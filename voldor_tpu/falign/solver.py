@@ -148,11 +148,22 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
         ok = jnp.all(jnp.isfinite(L))
         Lsafe = jnp.where(ok, L, jnp.eye(D))
         step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
-        trial = params - step.reshape(N, 9) * dim_mask
+        step_m = step.reshape(N, 9) * dim_mask
+        trial = params - step_m
         new_cost = cost_fn(trial) + gauge_cost(w2, trial)
         cur_cost = cost + gauge_cost(w2, params)
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
-        lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-7), lam * 4.0)
+        # Gain-ratio (Nielsen) damping: rho compares the achieved cost drop
+        # to the quadratic model's prediction 0.5*s'(lam*D*s + g). A
+        # fixed /3 decrease on every accept drives lam to the floor and
+        # sets up accept->reject oscillation (each reject wastes a full
+        # linearize+eval iteration); scaling the decrease by rho keeps lam
+        # where the model is honest. Reject still multiplies by 4.
+        sm = step_m.reshape(-1)
+        pred = 0.5 * (jnp.sum(sm * (lam * diag * sm)) + jnp.sum(sm * g))
+        rho = (cur_cost - new_cost) / jnp.maximum(pred, 1e-30)
+        dec = jnp.clip(1.0 - (2.0 * rho - 1.0) ** 3, 1.0 / 3.0, 1.0)
+        lam = jnp.where(accept, jnp.maximum(lam * dec, 1e-7), lam * 4.0)
         rel_drop = (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-30)
         # Stopping: cost plateau (Ceres function_tolerance analog — 1e-5
         # is enough for the downstream consistency/visibility gates and
@@ -163,7 +174,7 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
         # burns ~27 iterations climbing lam from 1e-7 to 1e9 in pure
         # rejects — the long per-lane tails of PERF_FALIGN.json), or
         # damping blow-up (1e6: ~13 more rejects past any accept scale).
-        step_inf = jnp.max(jnp.abs(step.reshape(N, 9) * dim_mask))
+        step_inf = jnp.max(jnp.abs(step_m))
         done = ((accept & (rel_drop < 1e-5))
                 | (accept & (step_inf < 1e-4))
                 | ((~accept) & (step_inf < 3e-5))

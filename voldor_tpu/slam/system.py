@@ -97,6 +97,17 @@ class VOLDOR_SLAM:
         # P=1.0/R=1.0 — geometry_check gates the residual false positives
         # downstream either way.
         self.lc_bow_score_thresh = 0.55
+        # Per-vocabulary threshold (r4 advisor): a PRETRAINED tree
+        # vocabulary (real-scale, ~10^4+ words) sparsifies histograms and
+        # uses the file's weights as idf, which shifts the whole cosine
+        # score scale DOWN (docs/LC_PR.json bow_pretrained: median correct
+        # 0.50/0.39 vs novel 0.29/0.21 on the two placesets) — at 0.55
+        # recall collapses to 0.17/0.10. 0.35 is the measured compromise
+        # operating point (F1 0.94 procedural / 0.71 real-photo);
+        # geometry_check recovers the residual precision downstream.
+        # enable_loop_closure applies this automatically when it loads a
+        # vocabulary file.
+        self.lc_bow_score_thresh_pretrained = 0.35
         self.lc_geo_inlier_thresh = 0.4
         # Cold-start schedule (VERDICT r3 #7): before the first k-majority
         # vocabulary fit the retriever scores on RANDOM prototypes, where
@@ -400,8 +411,12 @@ class VOLDOR_SLAM:
             try:
                 voc = load_dbow_text_vocabulary(voc_path)
                 retriever = BowRetriever(vocabulary=voc)
+                # pretrained vocabularies score on a lower cosine scale
+                # (see lc_bow_score_thresh_pretrained rationale in __init__)
+                self.lc_bow_score_thresh = self.lc_bow_score_thresh_pretrained
                 print(f"Loaded vocabulary from {voc_path} "
-                      f"({voc.n_words} words, k={voc.k} L={voc.L})")
+                      f"({voc.n_words} words, k={voc.k} L={voc.L}, "
+                      f"score thresh -> {self.lc_bow_score_thresh})")
             except (OSError, ValueError) as e:
                 print(
                     f"Note: could not load vocabulary '{voc_path}' ({e}) — "
