@@ -156,14 +156,11 @@ def test_parity_vs_reference_exact_degraded(scene):
     independently. Depth maps are compared too, at a looser bound (the
     degraded depth estimate is itself noisier).
 
-    VALIDITY CAVEAT (VERDICT r3 #6): this degradation is deliberately
-    MILD (noise_scale 0.6, 3 occlusions, no dynamic object). At the full
-    A/B degradation the ORACLE ITSELF collapses (docs/ACCURACY_AB.json
-    degraded/reference_exact: 78% median t_rel over 8 seeds — the fixed
-    5-iteration schedule cannot isolate heavy contamination), so a
-    deviation bound against it there would constrain nothing. Degraded
-    parity is only meaningful in the oracle's stable regime; robustness
-    beyond it is the A/B's job (default_shipped rows), not the oracle's."""
+    This degradation is deliberately MILD (noise_scale 0.6, 3 occlusions,
+    no dynamic object) — the oracle's most stable regime, giving the
+    tightest anchor. FULL A/B contamination is covered separately by
+    test_parity_full_degradation below (VERDICT r4 #7), where the oracle
+    is a weaker anchor and the ground-truth margin carries the claim."""
     if scene != "forward_dominant" and not PARITY_FULL:
         pytest.skip("full parity sweep: VOLDOR_PARITY_FULL=1 / parity_report")
     flows0, _ = build_scene(scene)
@@ -186,3 +183,36 @@ def test_parity_vs_reference_exact_degraded(scene):
     assert float(np.median(devs)) < 0.06, devs
     assert max(devs) < 0.25, devs
     assert float(np.median(depth_rels)) < 0.12, depth_rels
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene", list(SCENES))
+def test_parity_full_degradation(scene):
+    """FULL A/B contamination (VERDICT r4 #7): Fisk noise 1.0, 4
+    occlusions, and a moving object whose motion is epipolar-inconsistent
+    — the regime the rigidness machinery exists for
+    (optimize_depth.cu:84-116 semantics).
+
+    Measured sweep (docs/PARITY.json degraded_full rows): here the
+    reference-exact oracle is only a WEAK anchor — its own GT error
+    reaches 4-20% of extent on contaminated seeds while the shipped fast
+    path stays at 1-10% (the convergence-extended EM isolates the
+    contamination the fixed 5-iteration schedule cannot). So the bound
+    that carries the robustness claim is fast-vs-GT; fast-vs-oracle is
+    recorded loosely (both estimators sample independently under heavy
+    contamination, per-seed tail up to 0.35 measured)."""
+    if not PARITY_FULL:
+        pytest.skip("full parity sweep: VOLDOR_PARITY_FULL=1 / parity_report")
+    movobj = dict(x=18, y=20, w=26, h=22, motion=(0.5, -3.0))
+    flows0, Ts = build_scene(scene)
+    gt = np.asarray(Ts, np.float64)
+    devs, fast_gt = [], []
+    for seed in (5, 17, 91):
+        bad = degrade_flows(flows0, seed=seed, noise_scale=1.0,
+                            n_occlusions=4, moving_object=movobj)
+        est_ref, _ = run_pipeline(bad, REFERENCE_EXACT)
+        est_fast, _ = run_pipeline(bad, "")
+        devs.append(mutual_ate(est_fast, est_ref))
+        fast_gt.append(mutual_ate(est_fast, gt))
+    assert float(np.median(fast_gt)) < 0.08, fast_gt
+    assert float(np.median(devs)) < 0.20, devs

@@ -57,10 +57,8 @@ def main():
         print(f"clean/{scene}: {out[f'clean/{scene}']}", flush=True)
 
     # Degraded parity: ALL scene geometries (VERDICT r3 #6), trajectory +
-    # depth. NOTE the stability caveat in test_parity.py: this runs the
-    # MILD degradation where the oracle itself is stable; at the full A/B
-    # degradation the oracle collapses (docs/ACCURACY_AB.json
-    # degraded/reference_exact) and a deviation bound would be vacuous.
+    # depth, at the MILD degradation level (noise 0.6, 3 occlusions);
+    # the FULL A/B contamination level follows below (degraded_full).
     for scene in tp.SCENES:
         flows0, _ = tp.build_scene(scene)
         devs, depth_rels = [], []
@@ -83,12 +81,44 @@ def main():
             "median": round(float(np.median(devs)), 5),
             "depth_med_rel": round(float(np.median(depth_rels)), 5),
         }
+    # FULL-degradation parity (VERDICT r4 item 7): the same contamination
+    # level as docs/ACCURACY_AB.json degraded rows (Fisk noise 1.0, 4
+    # occlusions, a moving object whose motion is epipolar-inconsistent) —
+    # the regime the robustness machinery exists for. On the PARITY scenes
+    # the reference-exact oracle is stable here (ate_vs_gt ~1%; the
+    # ACCURACY_AB collapse is specific to that harness's 10-frame scene +
+    # larger object-to-frame ratio), so the anchor is meaningful; each
+    # row records the oracle's own GT error so its validity is auditable.
+    movobj = dict(x=18, y=20, w=26, h=22, motion=(0.5, -3.0))
+    for scene in tp.SCENES:
+        flows0, Ts = tp.build_scene(scene)
+        gt = np.asarray(Ts, np.float64)
+        devs, ora_gt, fast_gt = [], [], []
+        for seed in (5, 17, 91):
+            bad = degrade_flows(flows0, seed=seed, noise_scale=1.0,
+                                n_occlusions=4, moving_object=movobj)
+            est_ref, _ = tp.run_pipeline(bad, tp.REFERENCE_EXACT)
+            est_fast, _ = tp.run_pipeline(bad, "")
+            devs.append(round(float(tp.mutual_ate(est_fast, est_ref)), 5))
+            ora_gt.append(round(float(tp.mutual_ate(est_ref, gt)), 5))
+            fast_gt.append(round(float(tp.mutual_ate(est_fast, gt)), 5))
+            print(f"degraded_full/{scene} seed {seed}: vs_oracle={devs[-1]} "
+                  f"oracle_vs_gt={ora_gt[-1]} fast_vs_gt={fast_gt[-1]}",
+                  flush=True)
+        out[f"degraded_full/{scene}"] = {
+            "ate_vs_oracle_per_seed": devs,
+            "median": round(float(np.median(devs)), 5),
+            "oracle_ate_vs_gt_per_seed": ora_gt,
+            "fast_ate_vs_gt_per_seed": fast_gt,
+        }
+
     out["_caveat"] = (
-        "degraded rows use the oracle-stable mild degradation "
-        "(noise 0.6, 3 occlusions, no dynamic object); at full A/B "
-        "degradation the reference-exact oracle itself diverges "
-        "(ACCURACY_AB.json degraded/reference_exact) and parity there "
-        "would be meaningless"
+        "degraded rows use the mild degradation (noise 0.6, 3 occlusions, "
+        "no dynamic object); degraded_full rows use the FULL A/B "
+        "contamination (noise 1.0, 4 occlusions, moving object) — the "
+        "reference-exact oracle is stable on these scenes at that level "
+        "(oracle_ate_vs_gt_per_seed recorded per row), unlike the "
+        "ACCURACY_AB harness scene where it diverges"
     )
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.json")
