@@ -224,3 +224,39 @@ def test_falign_pairs_coarse_to_fine_matches_single_phase():
         np.nanmean(c2f["consistency_mat"]) - np.nanmean(ref["consistency_mat"])
     ) < 0.02
     assert np.all(np.isfinite(c2f["poses_covar"]))
+
+
+def test_analytic_jacobian_matches_autodiff():
+    """The hand-derived one-pass Jacobian (_pair_res_and_jacs, used on the
+    hot path after docs/MFU.json measured the 18-tangent forward-mode
+    linearize HBM/traffic-bound) must match the autodiff oracle
+    (_pair_res_and_jacs_ad) on residuals and both Jacobian blocks, in every
+    (photo, stride) regime, at nonzero poses/scales/color params."""
+    from voldor_tpu.falign.residual import precompute_maps
+    from voldor_tpu.falign.solver import (_pair_res_and_jacs,
+                                          _pair_res_and_jacs_ad)
+
+    depths, images = _make_pair(TRUE_POSE)
+    weights = np.full_like(depths, 0.7)
+    maps, bounds = precompute_maps(
+        jnp.asarray(depths), jnp.asarray(weights), jnp.asarray(images),
+        FX, FY, CX, CY,
+    )
+    intr = tuple(jnp.float32(v) for v in (FX, FY, CX, CY))
+    params = np.zeros((2, 9), np.float32)
+    params[0] = [0.02, -0.03, 0.01, 0.05, -0.02, 0.1, 0.04, 0.02, 1.5]
+    params[1] = [-0.01, 0.02, 0.03, -0.06, 0.01, -0.08, -0.03, -0.01, -2.0]
+    params = jnp.asarray(params)
+    pairs = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
+    dim_mask = jnp.ones((2, 9), jnp.float32)
+
+    for use_photo in (True, False):
+        for stride in (1, 3):
+            args = (params, pairs, maps, intr, jnp.float32(FX * 5),
+                    jnp.float32(10.0), use_photo, stride, bounds, dim_mask)
+            r_an, Jr_an, Jt_an = map(np.asarray, _pair_res_and_jacs(*args))
+            r_ad, Jr_ad, Jt_ad = map(np.asarray, _pair_res_and_jacs_ad(*args))
+            scale = max(np.abs(Jr_ad).max(), np.abs(Jt_ad).max(), 1e-9)
+            assert np.abs(r_an - r_ad).max() < 1e-3, (use_photo, stride)
+            assert np.abs(Jr_an - Jr_ad).max() / scale < 2e-3, (use_photo, stride)
+            assert np.abs(Jt_an - Jt_ad).max() / scale < 2e-3, (use_photo, stride)

@@ -49,7 +49,7 @@ def chip_peaks(device_kind: str):
     return (float("nan"), float("nan"))
 
 
-def loop_time(make_body, init_state, n_lo=4, n_hi=12, trials=5):
+def loop_time(make_body, init_state, n_lo=3, n_hi=8, trials=5):
     """Device seconds per stage iteration: run the stage n times inside
     ONE jitted fori_loop and diff two trip counts, cancelling the
     per-dispatch tunnel latency. make_body(i, state) -> state."""
@@ -166,6 +166,7 @@ def main():
     params = em.EmParams.from_config(cfg, has_disparity=False)
     depth, flows, rigidness = eng.depth, eng.flows, eng.rigidness
     poses6, covars = eng.poses6, eng.pose_covars
+    del eng  # free engine-held device buffers before the timed loops
 
     results = {}
     zero_hw = jnp.zeros((0, H, W), jnp.float32)
@@ -190,11 +191,15 @@ def main():
         )
         return out[0], out[1]
 
-    s = loop_time(dr_step, (depth, rigidness))
-    f_, b_ = cost_of(lambda d, r: dr_step(0, (d, r)), depth, rigidness)
-    results["em_depth_round"] = row("em_depth_round", s, f_, b_,
-                                    peak_tf, peak_gbs,
-                                    f"pallas={_resolve_use_pallas(cfg)}")
+    try:
+        s = loop_time(dr_step, (depth, rigidness))
+        f_, b_ = cost_of(lambda d, r: dr_step(0, (d, r)), depth, rigidness)
+        results["em_depth_round"] = row("em_depth_round", s, f_, b_,
+                                        peak_tf, peak_gbs,
+                                        f"pallas={_resolve_use_pallas(cfg)}")
+    except Exception as e:  # noqa: BLE001 — record and keep the other rows
+        print(f"# em_depth_round failed: {e!r}", file=sys.stderr)
+        results["em_depth_round"] = {"error": repr(e)}
 
     # --- pose window sweep (collect+P4P+meanshift+RG for all frames) ---
     dens = jnp.zeros(WINDOW, jnp.float32)
@@ -215,14 +220,18 @@ def main():
             np.bool_(True), np.bool_(False), jnp.uint32(3) + jnp.uint32(i),
             params, **pw_kw,
         )
-        return res.poses6, res.covars
+        return res.poses6, res.pose_covars
 
-    s = loop_time(pw_step, (poses6, covars))
-    f_, b_ = cost_of(lambda p, c: pw_step(0, (p, c)), poses6, covars)
-    results["em_pose_window"] = row(
-        "em_pose_window", s, f_, b_, peak_tf, peak_gbs,
-        f"stride={cfg.pose_sample_stride} pool={cfg.n_poses_to_sample} "
-        "(inner meanshift/RG while_loops: cost_analysis counts one trip)")
+    try:
+        s = loop_time(pw_step, (poses6, covars))
+        f_, b_ = cost_of(lambda p, c: pw_step(0, (p, c)), poses6, covars)
+        results["em_pose_window"] = row(
+            "em_pose_window", s, f_, b_, peak_tf, peak_gbs,
+            f"stride={cfg.pose_sample_stride} pool={cfg.n_poses_to_sample} "
+            "(inner meanshift/RG while_loops: cost_analysis counts one trip)")
+    except Exception as e:  # noqa: BLE001
+        print(f"# em_pose_window failed: {e!r}", file=sys.stderr)
+        results["em_pose_window"] = {"error": repr(e)}
 
     # --- falign: one batched LM step at the LC-16 workload ---
     from profile_falign import build_pairs
@@ -261,11 +270,15 @@ def main():
     fa_state = (params_b, jnp.full((P,), 1e-3, jnp.float32),
                 jnp.full((P,), 1e6, jnp.float32), jnp.zeros((P,), jnp.int32),
                 jnp.zeros((P,), bool), jnp.zeros((P,), jnp.float32))
-    s = loop_time(fa_step, fa_state)
-    f_, b_ = cost_of(lambda st: fa_step(0, st), fa_state)
-    results["falign_lm_step_p16"] = row("falign_lm_step_p16", s, f_, b_,
-                                        peak_tf, peak_gbs,
-                                        "photo, stride 3, 16 lanes x 2 dirs")
+    try:
+        s = loop_time(fa_step, fa_state)
+        f_, b_ = cost_of(lambda st: fa_step(0, st), fa_state)
+        results["falign_lm_step_p16"] = row("falign_lm_step_p16", s, f_, b_,
+                                            peak_tf, peak_gbs,
+                                            "photo, stride 3, 16 lanes x 2 dirs")
+    except Exception as e:  # noqa: BLE001
+        print(f"# falign_lm_step_p16 failed: {e!r}", file=sys.stderr)
+        results["falign_lm_step_p16"] = {"error": repr(e)}
 
     # --- PGO: one dense-LM linearize+factorize at a 512-pose bucket ---
     from voldor_tpu.pgo.solver import (_edge_res_and_jacs, build_problem)
@@ -300,11 +313,15 @@ def main():
         step = jax.scipy.linalg.cho_solve((L, True), g)
         return st - 1e-9 * step.reshape(-1, 7)[:, :3]
 
-    s = loop_time(pgo_step, prob.p, n_lo=2, n_hi=6, trials=3)
-    f_, b_ = cost_of(lambda p0: pgo_step(0, p0), prob.p)
-    results["pgo_dense_iter_512"] = row(
-        "pgo_dense_iter_512", s, f_, b_, peak_tf, peak_gbs,
-        "linearize+assemble+Cholesky at 512-pose bucket (3584 dofs)")
+    try:
+        s = loop_time(pgo_step, prob.p, n_lo=2, n_hi=6, trials=3)
+        f_, b_ = cost_of(lambda p0: pgo_step(0, p0), prob.p)
+        results["pgo_dense_iter_512"] = row(
+            "pgo_dense_iter_512", s, f_, b_, peak_tf, peak_gbs,
+            "linearize+assemble+Cholesky at 512-pose bucket (3584 dofs)")
+    except Exception as e:  # noqa: BLE001
+        print(f"# pgo_dense_iter_512 failed: {e!r}", file=sys.stderr)
+        results["pgo_dense_iter_512"] = {"error": repr(e)}
 
     # --- the fused full solve, for the headline denominator ---
     solve_fn = _get_solve_fn(cfg, False, False)

@@ -30,7 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from voldor_tpu.falign.residual import FrameMaps, pair_residual_map
+from voldor_tpu.falign.residual import (FrameMaps, pair_residual_and_grads,
+                                        pair_residual_map)
 
 
 class FalignResult(NamedTuple):
@@ -57,15 +58,36 @@ class PairLmState(NamedTuple):
 
 def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
     """Residuals (P, hs, ws) and Jacobians w.r.t. ref and tar params
-    ((P, hs, ws, 9) each).
+    ((P, hs, ws, 9) each) — the hand-derived one-pass chain rule
+    (residual.pair_residual_and_grads). The previous 18-tangent forward-
+    mode linearize (_pair_res_and_jacs_ad, kept below as the test oracle)
+    measured HBM/traffic-bound on TPU (docs/MFU.json falign_lm_step_p16:
+    ~106% of nominal HBM peak): each tangent replay re-walks the sampled
+    maps. The analytic form gathers once and reverse-chains a single
+    3-vector per point."""
+    fx, fy, cx, cy = intr
 
-    ONE linearize over the concatenated 18-dim pair parameter vector: the
-    bilinear gathers (the expensive part of the residual on TPU) execute
-    once and every tangent column rides the same primal trace — measured
-    vs the original primal + two 9-dim jacfwds this is the difference
-    between three gather sweeps and one. Invalid pixels need no explicit
-    Jacobian mask: the residual's own `where(valid, ., 0)` zeroes their
-    tangents."""
+    def one(pr, pt, ref, tar):
+        return pair_residual_and_grads(
+            pr, pt, ref, tar, maps, fx, fy, cx, cy, vbf, crw, use_photo,
+            stride, bounds,
+        )
+
+    res, Jr, Jt = jax.vmap(one)(
+        params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
+    )
+    # dim_mask is per-frame (N, 9): select each pair's side mask
+    mask_r = dim_mask[pairs[:, 0]][:, None, None, :]
+    mask_t = dim_mask[pairs[:, 1]][:, None, None, :]
+    return res, Jr * mask_r, Jt * mask_t
+
+
+def _pair_res_and_jacs_ad(params, pairs, maps, intr, vbf, crw, use_photo,
+                          stride, bounds, dim_mask):
+    """Forward-mode oracle for _pair_res_and_jacs: ONE linearize over the
+    concatenated 18-dim pair parameter vector, J columns from unit-tangent
+    replays. Used by tests/test_falign.py to verify the analytic chain
+    rule; not on the hot path."""
     fx, fy, cx, cy = intr
 
     def one(pr, pt, ref, tar):
@@ -83,7 +105,6 @@ def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, b
     res, Jr, Jt = jax.vmap(one)(
         params[pairs[:, 0]], params[pairs[:, 1]], pairs[:, 0], pairs[:, 1]
     )
-    # dim_mask is per-frame (N, 9): select each pair's side mask
     mask_r = dim_mask[pairs[:, 0]][:, None, None, :]
     mask_t = dim_mask[pairs[:, 1]][:, None, None, :]
     return res, Jr * mask_r, Jt * mask_t

@@ -90,6 +90,46 @@ def bilinear_sample_packed(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Ar
     return top * (1.0 - fy) + bot * fy
 
 
+def bilinear_sample_packed_grad(img: jax.Array, x: jax.Array, y: jax.Array):
+    """bilinear_sample_packed plus its screen-space derivatives.
+
+    Returns (value, d/dx, d/dy), each (S..., c), from the SAME single
+    (2, 2, c)-slice gather — the corner taps determine both the lerp and
+    its piecewise-constant derivative. Matches autodiff of
+    bilinear_sample_packed exactly: the clip on the query coordinates
+    zeroes the derivative outside [0, dim-1] (jnp.clip gradient
+    semantics), and the floor contributes nothing.
+    """
+    h, w, c = img.shape
+    in_x = ((x >= 0.0) & (x <= w - 1.0)).astype(img.dtype)[..., None]
+    in_y = ((y >= 0.0) & (y <= h - 1.0)).astype(img.dtype)[..., None]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(x), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(y), h - 2.0)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    starts = jnp.stack(
+        [y0.reshape(-1), x0.reshape(-1)], axis=-1
+    ).astype(jnp.int32)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    sl = jax.lax.gather(
+        img, starts, dnums, slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(x.shape + (2, 2, c))
+    top = sl[..., 0, 0, :] * (1.0 - fx) + sl[..., 0, 1, :] * fx
+    bot = sl[..., 1, 0, :] * (1.0 - fx) + sl[..., 1, 1, :] * fx
+    val = top * (1.0 - fy) + bot * fy
+    ddx = ((sl[..., 0, 1, :] - sl[..., 0, 0, :]) * (1.0 - fy)
+           + (sl[..., 1, 1, :] - sl[..., 1, 0, :]) * fy) * in_x
+    ddy = (bot - top) * in_y
+    return val, ddx, ddy
+
+
 def nearest_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Clamped nearest-neighbour fetch (GMat::at_safe, gmat.h:181-186)."""
     h, w = img.shape[0], img.shape[1]

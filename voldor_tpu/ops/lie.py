@@ -110,6 +110,28 @@ def rotate_rvec(p: jax.Array, rvec: jax.Array) -> jax.Array:
     return jnp.where(small, linear, rotated)
 
 
+def so3_right_jacobian(rvec: jax.Array) -> jax.Array:
+    """Right Jacobian J_r of SO(3): exp((r+d)^) = exp(r^) exp((J_r(r) d)^).
+
+    Closed form J_r = I - (1-cos t)/t^2 [r]x + (t - sin t)/t^3 [r]x^2 with
+    Taylor fallbacks near t=0. Used by the falign analytic Jacobian
+    (falign/residual.py:pair_residual_and_grads) to chain d(R(r)p)/dr =
+    -[R p]x (R J_r) through a per-frame constant 3x3 instead of autodiff's
+    per-point tangent replays. rvec: (..., 3) -> (..., 3, 3)."""
+    theta2 = jnp.sum(rvec * rvec, axis=-1, keepdims=True)[..., None]
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
+    small = theta2 < 1e-8
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - cos_t) / theta2)
+    c = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - sin_t) / (theta2 * theta)
+    )
+    K = _hat(rvec)
+    K2 = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    return eye - b * K + c * K2
+
+
 def pose6_to_T44(pose6: jax.Array) -> jax.Array:
     """(..., 6) -> (..., 4, 4) homogeneous transform (slam_utils.py:77-95)."""
     R = so3_exp(pose6[..., :3])

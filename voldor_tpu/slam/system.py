@@ -1178,8 +1178,49 @@ class VOLDOR_SLAM:
         try:
             from voldor_tpu.falign.api import falign_pairs
             from voldor_tpu.pgo.api import pgo
+            from voldor_tpu.vo.api import voldor_dispatch
 
             h, w = int(self.h), int(self.w)
+
+            # VO priors-variant executables FIRST (they block earliest):
+            # window 0 only needs the no-priors solve, which the VO thread
+            # itself compiles from t=0 — but the first keyframe's window
+            # switches to the depth-priors solve and, without this, pays
+            # its ~90 s compile serially mid-run (docs/PERF_SLAM_PHASES
+            # cold process_vo call 6). D=1 (tmpkf only) and D=2
+            # (tmpkf+spakf) stack priors to (D, h, w) and are distinct
+            # executables; the covis spakf gate variant rides along.
+            import jax.numpy as jnp
+
+            from voldor_tpu.vo.engine import DeviceMap
+
+            cfgstr = (self.voldor_config + " " + self.voldor_user_config
+                      + (" --save_everything" if self.debug_dir else ""))
+            inert_flows = [np.zeros((h, w, 2), np.float32)
+                           for _ in range(self.voldor_winsize)]
+            inert_map = jnp.full((h, w), 10.0, jnp.float32)
+            inert_conf = jnp.ones((h, w), jnp.float32)
+            for D in (1, 2):
+                covis = {"conf_thresh": self.depth_covis_conf_thresh}
+                if D == 2:
+                    # steady state: a distinct spatial keyframe gates
+                    # window stepping (device-handle maps, like process_vo)
+                    covis["spakf"] = (inert_map, inert_conf, 1.0, np.eye(4))
+                voldor_dispatch(
+                    flows=inert_flows,
+                    fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+                    basefocal=self.basefocal,
+                    disparity=(np.ones((h, w), np.float32)
+                               if self.mode == "stereo" else None),
+                    depth_priors=[DeviceMap(inert_map, 1.0)] * D,
+                    depth_prior_pconfs=[inert_conf] * D,
+                    depth_prior_poses=np.zeros((D, 6), np.float32),
+                    config=cfgstr,
+                    pad_window_to=self.voldor_winsize,
+                    poses_init=np.zeros((self.voldor_winsize, 6), np.float32),
+                    covis_spec=covis,
+                    host_copies=False,
+                )
             base = dict(
                 fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
                 optimize_7dof=self.mode == "mono",
