@@ -279,6 +279,46 @@ def test_dbow_text_vocabulary_loads_and_quantizes(tmp_path):
         assert int(voc.quantize(d[None])[0]) == w
 
 
+def test_dbow_binary_vocabulary_roundtrip(tmp_path):
+    """The ORBvoc.bin layout (ORB-SLAM2 loadFromBinaryFile forks — the
+    artifact pyDBoW3 consumes in the reference, voldor_slam.py:340-359)
+    round-trips through save_dbow_binary_vocabulary with identical tree
+    structure, weights, and word-id assignment as the text loader."""
+    from voldor_tpu.slam.loop_closure import (load_dbow_binary_vocabulary,
+                                              load_dbow_text_vocabulary,
+                                              load_vocabulary,
+                                              save_dbow_binary_vocabulary)
+
+    tpath = tmp_path / "tinyvoc.txt"
+    words = _write_tiny_vocab(tpath)
+    voc_t = load_dbow_text_vocabulary(str(tpath))
+    bpath = tmp_path / "tinyvoc.bin"
+    save_dbow_binary_vocabulary(voc_t, str(bpath))
+    # header: 6 internal+leaf nodes x 41 bytes + 24-byte header
+    assert bpath.stat().st_size == 24 + 6 * 41
+    voc_b = load_dbow_binary_vocabulary(str(bpath))
+    assert (voc_b.k, voc_b.L, voc_b.n_words) == (voc_t.k, voc_t.L,
+                                                 voc_t.n_words)
+    np.testing.assert_array_equal(voc_b.children, voc_t.children)
+    np.testing.assert_array_equal(voc_b.node_des, voc_t.node_des)
+    np.testing.assert_array_equal(voc_b.leaf_word, voc_t.leaf_word)
+    np.testing.assert_allclose(voc_b.word_weights, voc_t.word_weights,
+                               rtol=1e-6)
+    assert voc_b.quantize(words).tolist() == [0, 1, 2, 3]
+    # the sniffing entry point routes both forms
+    assert load_vocabulary(str(bpath)).n_words == 4
+    assert load_vocabulary(str(tpath)).n_words == 4
+
+
+def test_dbow_binary_vocabulary_rejects_malformed(tmp_path):
+    from voldor_tpu.slam.loop_closure import load_dbow_binary_vocabulary
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"definitely not a vocabulary file at all")
+    with pytest.raises(ValueError):
+        load_dbow_binary_vocabulary(str(bad))
+
+
 def test_dbow_vocabulary_rejects_malformed(tmp_path):
     from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
 

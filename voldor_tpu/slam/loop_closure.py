@@ -290,6 +290,90 @@ def load_dbow_text_vocabulary(path: str) -> TreeVocabulary:
                        rows[:, 34])
 
 
+def load_dbow_binary_vocabulary(path: str) -> TreeVocabulary:
+    """Parse a DBoW2 *binary* vocabulary (`ORBvoc.bin`) — the de-facto
+    format of the ORB-SLAM2 `loadFromBinaryFile` forks that the reference
+    ecosystem distributes pretrained ORB vocabularies in (pyDBoW3 loads
+    the same artifact, voldor_slam.py:340-359).
+
+    Layout (little-endian): header `uint32 nb_nodes, uint32 size_node,
+    int32 k, int32 L, int32 scoring, int32 weighting`, then `nb_nodes`
+    fixed-size records `int32 parent | desc[size_node-9] bytes |
+    float32 weight | uint8 is_leaf` (for ORB descriptors size_node = 41).
+    Nodes are in file order under the implicit root (node 0); word ids
+    are assigned to leaves in file order — identical tree semantics to
+    the text format, so both share `_build_tree`."""
+    with open(path, "rb") as f:
+        head = f.read(24)
+        if len(head) != 24:
+            raise ValueError("file too short for a DBoW binary header")
+        nb_nodes, size_node = np.frombuffer(head[:8], np.uint32)
+        k, L, _scoring, _weighting = np.frombuffer(head[8:], np.int32)
+        if not (0 < k < 1024 and 0 < L < 32 and 9 < size_node < 4096):
+            raise ValueError(
+                f"implausible DBoW binary header (k={k} L={L} "
+                f"size_node={size_node})")
+        d_len = int(size_node) - 9
+        if d_len != 32:
+            raise ValueError(
+                f"descriptor length {d_len} != 32 (ORB) — unsupported")
+        body = np.frombuffer(f.read(int(nb_nodes) * int(size_node)),
+                             np.uint8)
+    if body.size != int(nb_nodes) * int(size_node):
+        raise ValueError("truncated DBoW binary body")
+    rec = body.reshape(int(nb_nodes), int(size_node))
+    parents = rec[:, 0:4].copy().view(np.int32).reshape(-1).astype(np.int64)
+    descs = rec[:, 4:4 + d_len]
+    weights = rec[:, 4 + d_len:8 + d_len].copy().view(np.float32).reshape(-1)
+    is_leaf = rec[:, 8 + d_len] != 0
+    return _build_tree(int(k), int(L), parents, is_leaf, descs,
+                       weights.astype(np.float64))
+
+
+def save_dbow_binary_vocabulary(voc: TreeVocabulary, path: str,
+                                scoring: int = 0, weighting: int = 0):
+    """Write `voc` in the ORBvoc.bin layout load_dbow_binary_vocabulary
+    reads (round-trip partner; also converts text vocabularies to the
+    ~6x smaller binary form). Children are emitted in slot order, so
+    file order — and therefore word-id assignment — is preserved across
+    a save/load cycle."""
+    n = voc.node_des.shape[0]
+    # file order = node id order (ids 1..n-1 were assigned in file order)
+    parents = np.zeros(n, np.int32)
+    for p in range(n):
+        kids = voc.children[p]
+        parents[kids[kids >= 0]] = p
+    leaf = voc.leaf_word >= 0
+    weights = np.zeros(n, np.float32)
+    weights[leaf] = voc.word_weights[voc.leaf_word[leaf]]
+    rec = np.zeros((n - 1, 41), np.uint8)
+    rec[:, 0:4] = parents[1:, None].view(np.uint8).reshape(-1, 4)
+    rec[:, 4:36] = voc.node_des[1:]
+    rec[:, 36:40] = weights[1:, None].view(np.uint8).reshape(-1, 4)
+    rec[:, 40] = leaf[1:]
+    with open(path, "wb") as f:
+        f.write(np.asarray([n - 1, 41], np.uint32).tobytes())
+        f.write(np.asarray([voc.k, voc.L, scoring, weighting],
+                           np.int32).tobytes())
+        f.write(rec.tobytes())
+
+
+def load_vocabulary(path: str) -> TreeVocabulary:
+    """Load a pretrained DBoW vocabulary, sniffing text vs binary: `.bin`
+    (or a binary header that parses) -> load_dbow_binary_vocabulary,
+    otherwise the text loader. This is the single entry point
+    VOLDOR_SLAM.enable_loop_closure uses."""
+    p = str(path)
+    if p.endswith(".bin"):
+        return load_dbow_binary_vocabulary(p)
+    if p.endswith((".txt", ".txt.gz", ".gz", ".yml", ".yaml")):
+        return load_dbow_text_vocabulary(p)
+    try:
+        return load_dbow_binary_vocabulary(p)
+    except ValueError:
+        return load_dbow_text_vocabulary(p)
+
+
 class BowRetriever:
     """Online bag-of-binary-words with TF-IDF scoring over ORB descriptors.
 

@@ -394,10 +394,11 @@ class VOLDOR_SLAM:
     # ------------------------------------------------------------------
     def enable_loop_closure(self, voc_path=None, retriever=None):
         """Loop closure (loop_closure.py). voc_path, when it points at a
-        DBoW2/3 text vocabulary (ORBvoc.txt[.gz], the reference's
-        enable_loop_closure artifact, voldor_slam.py:340-359), is loaded
-        into a TreeVocabulary-backed retriever; otherwise the built-in
-        online-learned vocabulary takes over."""
+        DBoW2/3 vocabulary — text (ORBvoc.txt[.gz]) or binary
+        (ORBvoc.bin), the reference's enable_loop_closure artifacts
+        (voldor_slam.py:340-359) — is loaded into a TreeVocabulary-backed
+        retriever; otherwise the built-in online-learned vocabulary takes
+        over."""
         try:
             import cv2
 
@@ -406,10 +407,10 @@ class VOLDOR_SLAM:
             print("Error: Loop closure not available. Needs cv2 for ORB features.")
             return
         if voc_path and retriever is None:
-            from voldor_tpu.slam.loop_closure import load_dbow_text_vocabulary
+            from voldor_tpu.slam.loop_closure import load_vocabulary
 
             try:
-                voc = load_dbow_text_vocabulary(voc_path)
+                voc = load_vocabulary(voc_path)
                 retriever = BowRetriever(vocabulary=voc)
                 # pretrained vocabularies score on a lower cosine scale
                 # (see lc_bow_score_thresh_pretrained rationale in __init__)
