@@ -258,7 +258,7 @@ def main():
 
     def fa_step(i, st):
         def one(lane_st, maps):
-            body, _ = _make_lm_step(
+            body, _, _ = _make_lm_step(
                 pairs2, maps, intr, jnp.float32(875.0), jnp.float32(10.0),
                 True, 3, bounds, jnp.asarray(dim_mask), jnp.asarray(gauge_U), 2,
             )
@@ -268,7 +268,10 @@ def main():
 
     params_b = jnp.zeros((P, 2, 9), jnp.float32)
     fa_state = (params_b, jnp.full((P,), 1e-3, jnp.float32),
-                jnp.full((P,), 1e6, jnp.float32), jnp.zeros((P,), jnp.int32),
+                jnp.full((P,), 1e6, jnp.float32),
+                jnp.zeros((P, 18, 18), jnp.float32),
+                jnp.zeros((P, 18), jnp.float32),
+                jnp.zeros((P,), jnp.int32),
                 jnp.zeros((P,), bool), jnp.zeros((P,), jnp.float32))
     try:
         s = loop_time(fa_step, fa_state)

@@ -191,72 +191,82 @@ def _pairs_solve_compact(
     Returns (params (P,2,9), covars, vis, cons, iters (P,), iters_coarse
     (P,)) — per-lane TRUE iteration counts."""
     from voldor_tpu.falign.solver import (PairLmState, lm_chunk_pairs,
-                                          pairs_finalize)
+                                          pairs_finalize, pairs_phase_init)
 
     P = params0_b.shape[0]
-    params = np.asarray(params0_b, np.float32).copy()
-    lam = np.zeros(P, np.float32)
-    cost = np.zeros(P, np.float32)
-    w2 = np.zeros(P, np.float32)
-    it = np.zeros(P, np.int32)
+    # DEVICE-RESIDENT full-batch LM state with one dummy row (index P):
+    # chunk dispatches gather/scatter on device; only a packed (2, Pb)
+    # [done, it] array crosses to the host per chunk. Padding lanes
+    # scatter into the dummy row, so live rows never alias.
+    state = PairLmState(
+        params=jnp.concatenate(
+            [jnp.asarray(params0_b, jnp.float32),
+             jnp.zeros((1, 2, 9), jnp.float32)]),
+        lam=jnp.full((P + 1,), 1e-3, jnp.float32),
+        cost=jnp.zeros((P + 1,), jnp.float32),
+        H=jnp.zeros((P + 1, 18, 18), jnp.float32),
+        g=jnp.zeros((P + 1, 18), jnp.float32),
+        it=jnp.zeros((P + 1,), jnp.int32),
+        done=jnp.zeros((P + 1,), bool),
+        w2=jnp.zeros((P + 1,), jnp.float32),
+        fresh=jnp.zeros((P + 1,), bool),
+    )
+    it_host = np.zeros(P, np.int32)
 
     phases = []
     if coarse_stride > stride and coarse_iters > 0:
         phases.append((coarse_stride, coarse_iters, chunk_coarse))
     phases.append((stride, max_iters, chunk_fine))
 
+    def bucket(live):
+        Pb = 4 if live.size <= 4 else 16
+        idx_s = np.concatenate(
+            [live, np.full(Pb - live.size, P)]).astype(np.int32)
+        idx_m = np.concatenate(
+            [live, np.full(Pb - live.size, live[0])]).astype(np.int32)
+        pad = np.zeros(Pb, bool)
+        pad[live.size:] = True
+        return jnp.asarray(idx_s), jnp.asarray(idx_m), jnp.asarray(pad)
+
     phase_iters = []
     for stride_p, budget, chunk in phases:
         done = np.zeros(P, bool)
-        fresh = np.ones(P, bool)
-        it[:] = 0
-        lam[:] = 1e-3
-        w2[:] = 0.0
+        it_host[:] = 0
         live = np.arange(P)
+        # one linearize at phase entry fills (cost, H, g) on THIS phase's
+        # grid and resets lam/w2/it/done — chunks then resume from the
+        # carried normal equations (the LM body linearizes only at trial
+        # points); nothing crosses to the host here
+        idx_s, idx_m, _ = bucket(live)
+        state = pairs_phase_init(
+            state, maps_b, idx_s, idx_m, intr, vbf, crw, dim_mask,
+            gauge_U, use_photo=use_photo, stride=stride_p, bounds=bounds,
+        )
         used = 0
         while live.size and used < budget:
             step_iters = min(chunk, budget - used)
-            Pb = 4 if live.size <= 4 else 16
-            idx = np.concatenate(
-                [live, np.full(Pb - live.size, live[0])]
-            ).astype(np.int32)
-            pad = np.zeros(Pb, bool)
-            pad[live.size:] = True
-            st = PairLmState(
-                params=jnp.asarray(params[idx]),
-                lam=jnp.asarray(lam[idx]),
-                cost=jnp.asarray(cost[idx]),
-                it=jnp.asarray(it[idx]),
-                done=jnp.asarray(done[idx] | pad),
-                w2=jnp.asarray(w2[idx]),
-                fresh=jnp.asarray(fresh[idx] & ~pad),
+            idx_s, idx_m, pad = bucket(live)
+            state, stats = lm_chunk_pairs(
+                state, maps_b, idx_s, idx_m, pad, intr, vbf, crw, dim_mask,
+                gauge_U, jnp.int32(step_iters), use_photo=use_photo,
+                stride=stride_p, bounds=bounds,
             )
-            idx_dev = jnp.asarray(idx)
-            maps_live = jax.tree_util.tree_map(lambda a: a[idx_dev], maps_b)
-            out = lm_chunk_pairs(
-                st, maps_live, intr, vbf, crw, dim_mask, gauge_U,
-                jnp.int32(step_iters), use_photo=use_photo, stride=stride_p,
-                bounds=bounds,
-            )
+            stats = np.asarray(stats)  # the one per-chunk D2H
             k = live.size
-            params[live] = np.asarray(out.params)[:k]
-            lam[live] = np.asarray(out.lam)[:k]
-            cost[live] = np.asarray(out.cost)[:k]
-            it[live] = np.asarray(out.it)[:k]
-            done[live] = np.asarray(out.done)[:k]
-            w2[live] = np.asarray(out.w2)[:k]
-            fresh[live] = False
+            done[live] = stats[0, :k] != 0
+            it_host[live] = stats[1, :k]
             used += step_iters
             live = live[~done[live]]
-        phase_iters.append(it.copy())
+        phase_iters.append(it_host.copy())
 
+    params_dev = state.params[:P]
     covars, ok, vis, cons = pairs_finalize(
-        jnp.asarray(params), maps_b, intr, vbf, crw, dim_mask, bound,
+        params_dev, maps_b, intr, vbf, crw, dim_mask, bound,
         use_photo=use_photo, stride=stride, bounds=bounds,
     )
     iters_fine = phase_iters[-1]
     iters_coarse = phase_iters[0] if len(phases) == 2 else np.zeros(P, np.int32)
-    return (jnp.asarray(params), covars, vis, cons, iters_fine, iters_coarse)
+    return (params_dev, covars, vis, cons, iters_fine, iters_coarse)
 
 
 def falign_pairs(

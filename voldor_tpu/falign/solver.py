@@ -45,15 +45,23 @@ class FalignResult(NamedTuple):
 
 class PairLmState(NamedTuple):
     """Resumable per-lane LM state for the chunked batched-pair solver
-    (lm_chunk_pairs). One entry per lane of a (P, 2, ...) pair batch."""
+    (lm_chunk_pairs). One entry per lane of a (P, 2, ...) pair batch.
+
+    H/g carry the normal equations AT params (raw, no gauge/damping):
+    the LM body linearizes at the TRIAL point only (one residual+grads
+    pass per iteration instead of res+grads at current plus res-only at
+    trial) and reuses the carried system on rejects, which also makes a
+    rejected step nearly free (re-solve of the damped 18x18 system)."""
 
     params: jax.Array  # (P, 2, 9)
     lam: jax.Array  # (P,) LM damping
     cost: jax.Array  # (P,) raw cost at params on the CURRENT phase grid
+    H: jax.Array  # (P, 18, 18) normal matrix at params (raw)
+    g: jax.Array  # (P, 18) gradient at params
     it: jax.Array  # (P,) int32 iterations done in the current phase
     done: jax.Array  # (P,) bool: lane converged (phase-local)
     w2: jax.Array  # (P,) gauge weight (0 = derive from next Hessian)
-    fresh: jax.Array  # (P,) bool: cost not yet evaluated on this phase grid
+    fresh: jax.Array  # (P,) bool: cost/H/g not yet evaluated on this grid
 
 
 def _pair_res_and_jacs(params, pairs, maps, intr, vbf, crw, use_photo, stride, bounds, dim_mask):
@@ -112,12 +120,21 @@ def _pair_res_and_jacs_ad(params, pairs, maps, intr, vbf, crw, use_photo,
 
 def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
                   dim_mask, gauge_U, n_frames):
-    """Build (body, cost_fn) for one damped-LM iteration on the
+    """Build (body, init_fn, cost_fn) for one damped-LM iteration on the
     stride_p residual grid over `pairs`.
 
-    State: (params, lam, cost, it, done, w2). `cost` is the RAW cost at
-    params on this grid (gauge term added only for step comparisons);
-    w2 == 0 means "derive the gauge weight from this iteration's Hessian"
+    State: (params, lam, cost, H, g, it, done, w2). `cost` is the RAW
+    cost at params on this grid (gauge term added only for step
+    comparisons); H/g are the RAW normal equations AT params. The body
+    linearizes at the TRIAL point only — its residual pass yields the
+    trial cost AND the trial normal equations, which become the carried
+    system on accept — so each iteration pays ONE residual+grads sweep
+    (the old body paid res+grads at current plus a res-only trial eval),
+    and a rejected step re-solves the carried 18x18/NxN system at higher
+    damping without touching the residual maps at all. The LM iterates
+    are mathematically identical to the recompute-at-current scheme.
+
+    w2 == 0 means "derive the gauge weight from this state's Hessian"
     (a positive w2 is then carried unchanged), which makes the state
     resumable across dispatches (lm_chunk_pairs) — with no scale dims in
     gauge_U the weight is identically zero and the term vanishes."""
@@ -141,6 +158,15 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
             )
         )
 
+    def linearize(params):
+        """(cost, H, g) at params — one residual+grads sweep."""
+        res, Jr, Jt = _pair_res_and_jacs(
+            params, pairs, maps, intr, vbf, crw, use_photo, stride_p,
+            bounds, dim_mask,
+        )
+        H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+        return 0.5 * jnp.sum(res * res), H, g
+
     n_scale = jnp.maximum(jnp.sum(gauge_U), 1.0)
     u_any = jnp.sum(gauge_U, axis=0)  # (D,) union of scale dims
 
@@ -151,37 +177,36 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
         s_sums = gauge_U @ params.reshape(-1)
         return 0.5 * w2 * jnp.sum(s_sums * s_sums)
 
+    def init_fn(params):
+        cost, H, g = linearize(params)
+        return cost, H, g
+
     def body(state):
-        params, lam, cost, it, done, w2 = state
-        res, Jr, Jt = _pair_res_and_jacs(
-            params, pairs, maps, intr, vbf, crw, use_photo, stride_p,
-            bounds, dim_mask,
-        )
-        H, g = _joint_normal_eq(res, Jr, Jt, pairs, N)
+        params, lam, cost, H, g, it, done, w2 = state
         w2 = jnp.where(w2 > 0, w2, gauge_w2(H))
         s_sums = gauge_U @ params.reshape(-1)
-        H = H + w2 * (gauge_U.T @ gauge_U)
-        g = g + w2 * (gauge_U.T @ s_sums)
-        diag = jnp.maximum(jnp.diag(H), 1e-8)
-        damped = H + jnp.diag(lam * diag + inactive)
+        Hg = H + w2 * (gauge_U.T @ gauge_U)
+        gg = g + w2 * (gauge_U.T @ s_sums)
+        diag = jnp.maximum(jnp.diag(Hg), 1e-8)
+        damped = Hg + jnp.diag(lam * diag + inactive)
 
         L = jnp.linalg.cholesky(damped)
         ok = jnp.all(jnp.isfinite(L))
         Lsafe = jnp.where(ok, L, jnp.eye(D))
-        step = jax.scipy.linalg.cho_solve((Lsafe, True), g)
+        step = jax.scipy.linalg.cho_solve((Lsafe, True), gg)
         step_m = step.reshape(N, 9) * dim_mask
         trial = params - step_m
-        new_cost = cost_fn(trial) + gauge_cost(w2, trial)
+        trial_cost, H_t, g_t = linearize(trial)
+        new_cost = trial_cost + gauge_cost(w2, trial)
         cur_cost = cost + gauge_cost(w2, params)
         accept = ok & jnp.isfinite(new_cost) & (new_cost < cur_cost)
         # Gain-ratio (Nielsen) damping: rho compares the achieved cost drop
         # to the quadratic model's prediction 0.5*s'(lam*D*s + g). A
         # fixed /3 decrease on every accept drives lam to the floor and
-        # sets up accept->reject oscillation (each reject wastes a full
-        # linearize+eval iteration); scaling the decrease by rho keeps lam
-        # where the model is honest. Reject still multiplies by 4.
+        # sets up accept->reject oscillation; scaling the decrease by rho
+        # keeps lam where the model is honest. Reject multiplies by 4.
         sm = step_m.reshape(-1)
-        pred = 0.5 * (jnp.sum(sm * (lam * diag * sm)) + jnp.sum(sm * g))
+        pred = 0.5 * (jnp.sum(sm * (lam * diag * sm)) + jnp.sum(sm * gg))
         rho = (cur_cost - new_cost) / jnp.maximum(pred, 1e-30)
         dec = jnp.clip(1.0 - (2.0 * rho - 1.0) ** 3, 1.0 / 3.0, 1.0)
         lam = jnp.where(accept, jnp.maximum(lam * dec, 1e-7), lam * 4.0)
@@ -200,11 +225,13 @@ def _make_lm_step(pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
                 | (accept & (step_inf < 1e-4))
                 | ((~accept) & (step_inf < 3e-5))
                 | (lam > 1e6))
-        cost = jnp.where(accept, new_cost - gauge_cost(w2, trial), cost)
+        cost = jnp.where(accept, trial_cost, cost)
         params = jnp.where(accept, trial, params)
-        return params, lam, cost, it + 1, done, w2
+        H = jnp.where(accept, H_t, H)
+        g = jnp.where(accept, g_t, g)
+        return params, lam, cost, H, g, it + 1, done, w2
 
-    return body, cost_fn
+    return body, init_fn, cost_fn
 
 
 def _joint_normal_eq(res, Jr, Jt, pairs, n_frames):
@@ -301,32 +328,31 @@ def lm_solve(
         gauge weight w2 re-derives from the first Hessian of THIS phase
         (its typical curvature scales with the phase's pixel count —
         _make_lm_step derives it whenever the carried w2 is zero)."""
-        body, cost_p = _make_lm_step(
+        body, init_p, _ = _make_lm_step(
             pairs, maps, intr, vbf, crw, use_photo, stride_p, bounds,
             dim_mask, gauge_U, N,
         )
 
         def cond(state):
-            _, _, _, it, done, _ = state
+            it, done = state[5], state[6]
             return (it < it0 + iters_budget) & (~done)
 
-        init_cost = cost_p(params_in)
+        init_cost, H0, g0 = init_p(params_in)
         return jax.lax.while_loop(
             cond, body,
-            (params_in, jnp.float32(1e-3), init_cost, it0, jnp.bool_(False),
-             jnp.float32(0.0)),
+            (params_in, jnp.float32(1e-3), init_cost, H0, g0, it0,
+             jnp.bool_(False), jnp.float32(0.0)),
         )
 
     if coarse_stride > stride and coarse_iters > 0:
-        params_c, _, _, it_c, _, _ = run_phase(
-            params0, jnp.int32(0), coarse_stride, coarse_iters
-        )
-        params, lam, cost, it, _, _ = run_phase(params_c, it_c, stride, max_iters)
+        out_c = run_phase(params0, jnp.int32(0), coarse_stride, coarse_iters)
+        params_c, it_c = out_c[0], out_c[5]
+        out_f = run_phase(params_c, it_c, stride, max_iters)
+        params, cost, it = out_f[0], out_f[2], out_f[5]
         it_fine = it - it_c
     else:
-        params, lam, cost, it, _, _ = run_phase(
-            params0, jnp.int32(0), stride, max_iters
-        )
+        out_f = run_phase(params0, jnp.int32(0), stride, max_iters)
+        params, cost, it = out_f[0], out_f[2], out_f[5]
         it_c = jnp.int32(0)
         it_fine = it
 
@@ -367,38 +393,96 @@ _PAIRS2 = ((0, 1), (1, 0))
 
 
 @partial(jax.jit, static_argnames=("use_photo", "stride", "bounds"))
-def lm_chunk_pairs(state: PairLmState, maps_b, intr, vbf, crw, dim_mask,
-                   gauge_U, chunk_iters, *, use_photo, stride, bounds):
-    """Advance every lane of a (P, 2, ...) pair batch by up to
-    ``chunk_iters`` LM iterations on the ``stride`` grid; already-done
-    lanes cost only a frozen select. chunk_iters is TRACED (one executable
-    serves every chunk size), so the host compaction driver
-    (falign/api.py:falign_pairs) can re-dispatch the unconverged lanes of
-    a 16-bucket into a 4-bucket instead of dragging all lanes to the
-    slowest lane's iteration count — per-lane results are identical to a
-    single uninterrupted lm_solve because the per-lane state is exactly
-    the LM loop state."""
+def lm_chunk_pairs(state: PairLmState, maps_b, idx_state, idx_maps, pad,
+                   intr, vbf, crw, dim_mask, gauge_U, chunk_iters, *,
+                   use_photo, stride, bounds):
+    """Advance the ``idx`` lanes of a DEVICE-RESIDENT (P+1, 2, ...) pair
+    batch state by up to ``chunk_iters`` LM iterations on the ``stride``
+    grid, entirely on device: gather live lanes, run the vmapped
+    while_loop, scatter results back, and return the updated full state
+    plus one tiny packed (2, Pb) [done, it] int32 array — the ONLY
+    per-chunk D2H. The previous driver shipped the whole 8-field
+    per-lane state host<->device around every chunk (~16 tunnel round
+    trips x 10-20 ms on this platform, docs/PLATFORM_NOTES.md), which
+    cost more than the chunk's compute at SLAM link workloads.
+
+    idx_state: (Pb,) rows into the (P+1)-row state; padding entries
+    point at the dummy row P (their scatter is harmless — no duplicate
+    live index — and ``pad`` forces them done). idx_maps: (Pb,) rows
+    into the P-row maps (padding entries reuse a live row; maps are
+    read-only). chunk_iters is TRACED, so one executable serves every
+    chunk size and the host compaction driver (falign/api.py) can
+    re-dispatch the unconverged lanes of a 16-bucket into a 4-bucket —
+    per-lane results are identical to a single uninterrupted lm_solve
+    because the per-lane state is exactly the LM loop state."""
     pairs2 = jnp.asarray(_PAIRS2, jnp.int32)
 
-    def one(st: PairLmState, maps):
-        body, cost_p = _make_lm_step(
+    st = jax.tree_util.tree_map(lambda a: a[idx_state], state)
+    st = st._replace(done=st.done | pad)
+    maps_live = jax.tree_util.tree_map(lambda a: a[idx_maps], maps_b)
+
+    def one(st_l: PairLmState, maps):
+        body, _, _ = _make_lm_step(
             pairs2, maps, intr, vbf, crw, use_photo, stride, bounds,
             dim_mask, gauge_U, 2,
         )
-        cost0 = jnp.where(st.fresh, cost_p(st.params), st.cost)
-        it_end = st.it + chunk_iters
+        it_end = st_l.it + chunk_iters
 
         def cond(s):
-            _, _, _, it, done, _ = s
+            it, done = s[5], s[6]
             return (it < it_end) & (~done)
 
-        params, lam, cost, it, done, w2 = jax.lax.while_loop(
-            cond, body, (st.params, st.lam, cost0, st.it, st.done, st.w2)
+        params, lam, cost, H, g, it, done, w2 = jax.lax.while_loop(
+            cond, body,
+            (st_l.params, st_l.lam, st_l.cost, st_l.H, st_l.g, st_l.it,
+             st_l.done, st_l.w2),
         )
-        return PairLmState(params=params, lam=lam, cost=cost, it=it,
-                           done=done, w2=w2, fresh=jnp.bool_(False))
+        return PairLmState(params=params, lam=lam, cost=cost, H=H, g=g,
+                           it=it, done=done, w2=w2, fresh=jnp.bool_(False))
 
-    return jax.vmap(one)(state, maps_b)
+    out = jax.vmap(one)(st, maps_live)
+    new_state = jax.tree_util.tree_map(
+        lambda full, new: full.at[idx_state].set(new), state, out
+    )
+    stats = jnp.stack([out.done.astype(jnp.int32), out.it])
+    return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("use_photo", "stride", "bounds"))
+def pairs_phase_init(state: PairLmState, maps_b, idx_state, idx_maps, intr,
+                     vbf, crw, dim_mask, gauge_U, *, use_photo, stride,
+                     bounds):
+    """Reset the ``idx`` lanes of the device-resident state for a new c2f
+    phase: one linearize at params on THIS phase's grid fills (cost, H,
+    g); lam/w2/it/done reset. Returns the updated full state — nothing
+    crosses to the host (fresh-ness is per-PHASE: the driver calls this
+    once when a phase starts, chunks resume from carried normal
+    equations)."""
+    pairs2 = jnp.asarray(_PAIRS2, jnp.int32)
+
+    params_live = state.params[idx_state]
+    maps_live = jax.tree_util.tree_map(lambda a: a[idx_maps], maps_b)
+
+    def one(params, maps):
+        _, init_p, _ = _make_lm_step(
+            pairs2, maps, intr, vbf, crw, use_photo, stride, bounds,
+            dim_mask, gauge_U, 2,
+        )
+        return init_p(params)
+
+    cost, H, g = jax.vmap(one)(params_live, maps_live)
+    Pb = idx_state.shape[0]
+    return PairLmState(
+        params=state.params,
+        lam=state.lam.at[idx_state].set(jnp.full((Pb,), 1e-3, jnp.float32)),
+        cost=state.cost.at[idx_state].set(cost),
+        H=state.H.at[idx_state].set(H),
+        g=state.g.at[idx_state].set(g),
+        it=state.it.at[idx_state].set(jnp.zeros((Pb,), jnp.int32)),
+        done=state.done.at[idx_state].set(jnp.zeros((Pb,), bool)),
+        w2=state.w2.at[idx_state].set(jnp.zeros((Pb,), jnp.float32)),
+        fresh=state.fresh,
+    )
 
 
 @partial(jax.jit, static_argnames=("use_photo", "stride", "bounds"))
