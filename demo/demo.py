@@ -44,7 +44,15 @@ opt = parser.parse_args()
 if opt.abs_resize is None:
     opt.abs_resize = opt.resize
 
+import faulthandler
 import threading
+
+# Stall watchdog: long-running headless runs (tools/long_run.py) need a
+# way to see where the threads are if progress stops; periodic full
+# tracebacks to stderr are cheap and disabled by default.
+if os.environ.get("VOLDOR_WATCHDOG"):
+    faulthandler.dump_traceback_later(
+        int(os.environ["VOLDOR_WATCHDOG"]), repeat=True)
 
 from voldor_tpu.slam.system import VOLDOR_SLAM
 from voldor_tpu.slam.viewer import VOLDOR_Viewer
